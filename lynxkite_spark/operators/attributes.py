@@ -1,0 +1,141 @@
+"""Attribute (column) operators + filter predicate language
+(SURVEY.md §2.5; reference files cited per function).
+
+Everything here is a thin, documented wrapper over a Spark SQL
+expression — the point is parity of *semantics* with the reference's
+attribute operations, with Catalyst doing the execution work.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def add_constant(df: DataFrame, name: str, value) -> DataFrame:
+    """AddConstantAttribute.scala."""
+    return df.withColumn(name, F.lit(value))
+
+
+def add_random(df: DataFrame, name: str, seed: int, dist: str = "uniform") -> DataFrame:
+    """AddRandomAttribute.scala — seeded uniform/gaussian."""
+    gen = F.rand(seed) if dist == "uniform" else F.randn(seed)
+    return df.withColumn(name, gen)
+
+
+def add_ranking(df: DataFrame, name: str, key: str, ascending: bool = True) -> DataFrame:
+    """AddRankingAttribute.scala — rank starting at 0 by a sort key.
+    NOTE: a global row_number is a single-reducer sort at 100 TB; prefer
+    rank-by-zone or top-k when a total order isn't truly needed."""
+    order = F.col(key).asc() if ascending else F.col(key).desc()
+    return df.withColumn(name, F.row_number().over(W.orderBy(order, F.col("id"))) - 1)
+
+
+def fallback(df: DataFrame, name: str, primary: str, default: str) -> DataFrame:
+    """AttributeFallback.scala — fill missing from another attribute."""
+    return df.withColumn(name, F.coalesce(F.col(primary), F.col(default)))
+
+
+def hash_attribute(df: DataFrame, col: str, salt: str, name: str | None = None) -> DataFrame:
+    """HashVertexAttribute.scala:1-4 — salted SHA-256."""
+    return df.withColumn(
+        name or f"{col}_hashed",
+        F.sha2(F.concat(F.lit(salt), F.col(col).cast("string")).cast("binary"), 256),
+    )
+
+
+def convert_to_double(df: DataFrame, col: str) -> DataFrame:
+    """Conversions.scala — attr→Double."""
+    return df.withColumn(col, F.col(col).cast("double"))
+
+
+def convert_to_string(df: DataFrame, col: str) -> DataFrame:
+    return df.withColumn(col, F.col(col).cast("string"))
+
+
+def bundle_into_vector(df: DataFrame, cols: list[str], name: str = "vector") -> DataFrame:
+    """'Bundle vertex attributes into a Vector'
+    (VertexAttributeOperations.scala:387)."""
+    return df.withColumn(name, F.array(*[F.col(c).cast("double") for c in cols]))
+
+
+def one_hot_encode(df: DataFrame, col: str, categories: list[str], name: str | None = None) -> DataFrame:
+    """'One-hot encode attribute' (VertexAttributeOperations.scala:431)."""
+    return df.withColumn(
+        name or f"{col}_onehot",
+        F.array(*[F.when(F.col(col) == c, 1.0).otherwise(0.0) for c in categories]),
+    )
+
+
+def correlate(df: DataFrame, a: str, b: str) -> float:
+    """CorrelateAttributes.scala — Pearson correlation (defined-for-both rows)."""
+    return df.where(F.col(a).isNotNull() & F.col(b).isNotNull()).agg(F.corr(a, b)).first()[0]
+
+
+# ---------------------------------------------------------------- filters
+
+_INTERVAL = re.compile(r"^([\[\(])\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)\s*([\]\)])$")
+_CMP = re.compile(r"^(<=|>=|<>|<|>|==|=)\s*(.+)$")
+
+
+def parse_filter(col: Column, spec: str) -> Column:
+    """The reference's UI filter predicate language
+    (/root/reference/app/.../controllers/FEFilters.scala:154-247 and
+    graph_operations/AttributeFilters.scala:67-160):
+
+      ``*`` match-all · ``!expr`` negation · ``a,b,c`` one-of ·
+      ``>x <=x`` comparisons · ``[a,b] (a,b)`` intervals ·
+      ``regex(pat)`` regular expression match.
+    """
+    spec = spec.strip()
+    if spec == "*":
+        return col.isNotNull()
+    if spec.startswith("!"):
+        return ~parse_filter(col, spec[1:])
+    if spec.startswith("regex(") and spec.endswith(")"):
+        return col.rlike(spec[6:-1])
+    m = _INTERVAL.match(spec)
+    if m:
+        lo_open, lo, hi, hi_open = m.groups()
+        lo_c = col > float(lo) if lo_open == "(" else col >= float(lo)
+        hi_c = col < float(hi) if hi_open == ")" else col <= float(hi)
+        return lo_c & hi_c
+    m = _CMP.match(spec)
+    if m:
+        op, val = m.groups()
+        v = _coerce(val)
+        return {
+            "<": col < v, "<=": col <= v, ">": col > v, ">=": col >= v,
+            "=": col == v, "==": col == v, "<>": col != v,
+        }[op]
+    if "," in spec:
+        return col.isin([_coerce(x.strip()) for x in spec.split(",")])
+    return col == _coerce(spec)
+
+
+def _coerce(s: str):
+    try:
+        return int(s)
+    except ValueError:
+        try:
+            return float(s)
+        except ValueError:
+            return s
+
+
+def filter_vertices(df: DataFrame, **specs: str) -> DataFrame:
+    """VertexAttributeFilter (AttributeFilters.scala:11-65): AND of
+    per-attribute specs; rows where the attribute is NULL never match
+    (reference models missing values as absent keys)."""
+    out = df
+    for colname, spec in specs.items():
+        out = out.where(parse_filter(F.col(colname), spec))
+    return out
+
+
+def filter_by_table(df: DataFrame, keys: DataFrame, on: str = "id", keep: bool = True) -> DataFrame:
+    """FilterByTable.scala — semi/anti join filter."""
+    return df.join(keys, on, "left_semi" if keep else "left_anti")

@@ -1,0 +1,80 @@
+"""Community detection by label propagation (synchronous, deterministic).
+
+The reference delegates to NetworKit PLP — Raghavan et al. async label
+propagation whose result is thread-count dependent
+(/root/reference/app/.../graph_operations/NetworKit.scala:181-228,
+sphynx/lynxkite-sphynx/networkit_community_detection.go:23-33; tests pin
+NETWORKIT_THREADS, test_backend.sh:25-27). A partition-dependent result
+is unacceptable at cluster scale, so our spec is the *synchronous*
+variant with deterministic tie-breaking (SURVEY.md §2.1):
+
+  label(v) ← argmax over neighbor labels by (weight desc, label asc)
+
+iterated until no label changes or ``max_iterations`` (sync LPA can
+2-cycle on bipartite structures; the cap guarantees termination).
+Edges are treated as undirected (reference passes directed=false).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from lynxkite_spark.graph import Graph
+
+
+def label_propagation(
+    graph: Graph,
+    max_iterations: int = 30,
+    weighted: bool = False,
+) -> DataFrame:
+    """Returns belongs_to: DataFrame[id: long, label: long]."""
+    spark = graph.vertices.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    g = graph.with_weight()
+    e = g.edges.select("src", "dst", "weight").where(F.col("src") != F.col("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    if not weighted:
+        sym = sym.withColumn("weight", F.lit(1.0))
+    sym = sym.repartition(n_part, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+
+    from lynxkite_spark.plans.checkpoint import materialize
+
+    labels = materialize(
+        graph.vertices.select("id", F.col("id").alias("label")).repartition(n_part, "id")
+    )
+
+    for it in range(max_iterations):
+        # gather neighbor labels onto dst; per-(dst,label) weight sums are
+        # map-side combinable, so hub vertices don't skew the shuffle
+        votes = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy("dst", "label")
+            .agg(F.sum("weight").alias("w"))
+        )
+        # argmax by (w desc, label asc) — deterministic: max_by on an
+        # ordered struct (invert label sign for the asc tie-break)
+        best = votes.groupBy("dst").agg(
+            F.max_by("label", F.struct(F.col("w"), -F.col("label"))).alias("new_label")
+        )
+        new_labels = materialize(
+            labels.join(best, labels.id == best.dst, "left")
+            .select("id", F.coalesce("new_label", "label").alias("label"))
+            .repartition(n_part, "id")
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

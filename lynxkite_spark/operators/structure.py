@@ -1,0 +1,186 @@
+"""Graph structure transformations (SURVEY.md §2.3).
+
+Each function cites the reference operation it re-expresses; all are
+single declarative DataFrame plans — Catalyst handles pushdown/pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from lynxkite_spark.graph import Graph
+
+
+def add_reversed_edges(edges: DataFrame) -> DataFrame:
+    """AddReversedEdges.scala:1 — 'For each A->B edge it adds a B<-A edge'."""
+    return edges.unionByName(reverse_edges(edges))
+
+
+def reverse_edges(edges: DataFrame) -> DataFrame:
+    """ReverseEdges.scala."""
+    others = [c for c in edges.columns if c not in ("src", "dst")]
+    return edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), *others
+    )
+
+
+def make_symmetric(edges: DataFrame) -> DataFrame:
+    """MakeEdgeBundleSymmetric.scala:1 — 'Keeps the smaller set of A->B and
+    B->A edges': per ordered pair keep min(#a→b, #b→a) copies, in both
+    directions."""
+    cnt = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    rev = cnt.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("n").alias("rn")
+    )
+    kept = cnt.join(rev, ["src", "dst"]).select(
+        "src", "dst", F.least("n", "rn").alias("k")
+    )
+    return kept.select(
+        "src", "dst", F.explode(F.sequence(F.lit(1), F.col("k"))).alias("_i")
+    ).drop("_i")
+
+
+def strip_duplicate_edges(edges: DataFrame) -> DataFrame:
+    """StripDuplicateEdgesFromBundle.scala — one arbitrary A→B edge kept."""
+    return edges.dropDuplicates(["src", "dst"])
+
+
+def loop_edges(vertices: DataFrame) -> DataFrame:
+    """LoopEdgeBundle.scala — a self-loop per vertex."""
+    return vertices.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+
+
+def edge_graph(graph: Graph) -> Graph:
+    """EdgeGraph.scala — the line graph: edges become vertices; two edge
+    vertices are connected when e1.dst == e2.src. Edge identity is the
+    canonical (src, dst, row-index-within-duplicates) triple so the result
+    is value-derived and partition-invariant."""
+    w = W.partitionBy("src", "dst").orderBy("src")
+    e = graph.edges.select("src", "dst").withColumn("dup", F.row_number().over(w))
+    e = e.select(F.xxhash64("src", "dst", "dup").alias("id"), "src", "dst")
+    left = e.select(F.col("id").alias("src_e"), F.col("dst").alias("mid"))
+    right = e.select(F.col("id").alias("dst_e"), F.col("src").alias("mid"))
+    new_edges = left.join(right, "mid").select(
+        F.col("src_e").alias("src"), F.col("dst_e").alias("dst")
+    )
+    return Graph(vertices=e.select("id"), edges=new_edges)
+
+
+def merge_vertices(graph: Graph, attr: str) -> tuple[Graph, DataFrame]:
+    """MergeVertices.scala — merge vertices equal on ``attr``; the
+    representative is the min id per group (deterministic, unlike the
+    reference's arbitrary pick). Edges are remapped through the mapping
+    (InducedEdgeBundle.scala semantics). Returns (merged graph,
+    mapping[id, new_id])."""
+    mapping = graph.vertices.select("id", attr).withColumn(
+        "new_id", F.min("id").over(W.partitionBy(attr))
+    ).select("id", "new_id")
+    new_vertices = (
+        graph.vertices.join(mapping, "id")
+        .where(F.col("id") == F.col("new_id"))
+        .drop("new_id")
+    )
+    e = induced_edges(graph.edges, mapping)
+    return Graph(vertices=new_vertices, edges=e), mapping
+
+
+def induced_edges(
+    edges: DataFrame,
+    mapping: DataFrame,
+    on_src: bool = True,
+    on_dst: bool = True,
+) -> DataFrame:
+    """InducedEdgeBundle.scala:1-8 — re-map edge endpoints through a
+    vertex mapping[id, new_id]; edges whose endpoint is absent from the
+    mapping are dropped (filter semantics)."""
+    others = [c for c in edges.columns if c not in ("src", "dst")]
+    e = edges
+    if on_src:
+        m = mapping.select(F.col("id").alias("src"), F.col("new_id").alias("_new_src"))
+        e = e.join(m, "src", "inner").select(
+            F.col("_new_src").alias("src"), "dst", *others
+        )
+    if on_dst:
+        m = mapping.select(F.col("id").alias("dst"), F.col("new_id").alias("_new_dst"))
+        e = e.join(m, "dst", "inner").select(
+            "src", F.col("_new_dst").alias("dst"), *others
+        )
+    return e
+
+
+def concatenate_bundles(
+    ab: DataFrame, bc: DataFrame, keep_multiplicity: bool = False
+) -> DataFrame:
+    """ConcatenateBundles.scala — compose A→B with B→C into A→C, weights
+    multiplied along paths and summed per (a, c); ConcatenateBundlesMulti
+    keeps per-path multiplicity instead."""
+    a = ab.select(F.col("src"), F.col("dst").alias("mid"), F.coalesce(F.col("weight"), F.lit(1.0)).alias("w1")) \
+        if "weight" in ab.columns else ab.select("src", F.col("dst").alias("mid"), F.lit(1.0).alias("w1"))
+    b = bc.select(F.col("src").alias("mid"), F.col("dst"), F.coalesce(F.col("weight"), F.lit(1.0)).alias("w2")) \
+        if "weight" in bc.columns else bc.select(F.col("src").alias("mid"), "dst", F.lit(1.0).alias("w2"))
+    paths = a.join(b, "mid").select("src", "dst", (F.col("w1") * F.col("w2")).alias("weight"))
+    if keep_multiplicity:
+        return paths
+    return paths.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+
+
+def edges_from_attribute_matches(vertices: DataFrame, attr: str) -> DataFrame:
+    """EdgesFromAttributeMatches.scala ('Connect vertices on attribute') —
+    all ordered pairs of distinct vertices sharing ``attr``. Self-equi-join;
+    heavy attr values are exactly the skew case AQE splits."""
+    a = vertices.select(F.col("id").alias("src"), F.col(attr).alias("_k"))
+    b = vertices.select(F.col("id").alias("dst"), F.col(attr).alias("_k"))
+    return (
+        a.join(b, "_k")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+
+
+def segmentation_to_edges(belongs_to: DataFrame, min_overlap: int = 1) -> DataFrame:
+    """SetOverlap.scala — connect segments sharing ≥ k members."""
+    a = belongs_to.select(F.col("id"), F.col("segment").alias("s1"))
+    b = belongs_to.select(F.col("id"), F.col("segment").alias("s2"))
+    return (
+        a.join(b, "id")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .where(F.col("overlap") >= min_overlap)
+        .select(F.col("s1").alias("src"), F.col("s2").alias("dst"), "overlap")
+    )
+
+
+def vertex_set_union(*vertex_sets: DataFrame) -> DataFrame:
+    """Unions.scala:32 — disjoint union with deterministic re-numbering:
+    new id = xxhash64(set index, old id)."""
+    parts = []
+    for i, vs in enumerate(vertex_sets):
+        parts.append(
+            vs.select(
+                F.xxhash64(F.lit(i), F.col("id")).alias("id"),
+                F.col("id").alias("original_id"),
+                F.lit(i).alias("source_set"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def split_vertices(vertices: DataFrame, count_attr: str) -> DataFrame:
+    """SplitVertices.scala — replicate each vertex ``round(count)`` times;
+    output carries (id = xxhash64(old, index), original_id, index)."""
+    n = F.col(count_attr).cast("long")
+    return (
+        vertices.where(n > 0)
+        .select("id", F.explode(F.sequence(F.lit(1), n)).alias("index"))
+        .select(
+            F.xxhash64("id", "index").alias("id"),
+            F.col("id").alias("original_id"),
+            "index",
+        )
+    )

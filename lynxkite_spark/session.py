@@ -1,0 +1,68 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local-mode testing stands in for a multi-executor cluster; every knob
+here is the one you would set in ``spark-submit --conf`` on a real
+1000-executor deployment. The reference tunes to ~200k rows/partition
+(/root/reference/app/com/lynxanalytics/biggraph/graph_api/io/EntityIO.scala:82-83);
+we let AQE coalesce to an equivalent size at runtime instead of
+hand-counting partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Reference partition-sizing anchors (BASELINE.md):
+#   EntityIO.scala:82-83  -> 200_000 rows/partition target
+#   HybridRDD.scala:73-80 -> 40_000 rows/key hot-key threshold
+ROWS_PER_PARTITION = 200_000
+HOT_KEY_THRESHOLD = 40_000
+
+
+def get_spark(
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    app_name: str = "lynxkite_spark",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` is an int for ``local[N]`` or a full master URL; defaults to
+    ``$SPARK_GRAFT_CPUS`` (falling back to ``local[*]``).
+    """
+    env_cores = os.environ.get("SPARK_GRAFT_CPUS")
+    if cores is None:
+        master = f"local[{env_cores}]" if env_cores else "local[*]"
+    elif isinstance(cores, int):
+        master = f"local[{cores}]"
+    else:
+        master = cores
+    if shuffle_partitions is None:
+        shuffle_partitions = int(env_cores) if env_cores else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # match local parallelism, not the 200 default; AQE coalesces further
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        # AQE: runtime re-planning — partition coalescing + skew-join backstop
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for all pandas UDF / toPandas traffic
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # iterative algorithms re-use one shuffle by co-partitioning on id/src;
+        # keep the broadcast threshold generous for dictionary joins
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,87 @@
+"""Sources & sinks (SURVEY.md §2.8).
+
+The reference's import/export boxes
+(/root/reference/app/.../frontend_operations/ImportOperations.scala:36-455,
+ExportOperations.scala) are thin wrappers over Spark readers/writers; so
+are ours. Formats whose connectors are not in this container (JDBC
+drivers, Delta, Iceberg runtime, Neo4j, BigQuery, Hive metastore) are
+routed through the same API and fail with a clear message instead of an
+opaque ClassNotFound.
+
+At cluster scale the canonical source/sink is an Iceberg (or Delta)
+catalog table — ``read_table(spark, "my_catalog.db.tbl", format="iceberg")``
+— giving snapshot-isolated checkpoints and bucket-partitioned layouts
+(`bucket(N, id)`), the columnar equivalent of the reference's
+partition-count-preserving Parquet store (EntityIO.scala:71-110).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+FILE_FORMATS = {"parquet", "orc", "json", "csv", "avro", "text"}
+CATALOG_FORMATS = {"iceberg", "delta", "hive"}
+
+
+def read_table(
+    spark: SparkSession,
+    path_or_table: str,
+    format: str = "parquet",
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """Unified import. CSV defaults mirror the reference's import box
+    (ImportOperations.scala:36: delimiter, quote, infer)."""
+    fmt = format.lower()
+    if fmt in CATALOG_FORMATS:
+        try:
+            return spark.read.format(fmt).load(path_or_table)
+        except Exception as e:  # connector jar not on classpath in sandbox
+            raise RuntimeError(
+                f"{fmt} runtime not available in this environment; "
+                f"add the connector jar via spark-submit --packages"
+            ) from e
+    if fmt == "jdbc":
+        reader = spark.read.format("jdbc")
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+    if fmt not in FILE_FORMATS:
+        raise ValueError(f"unknown format {format!r}")
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)  # ReadParquetWithSchema.scala: zero-copy import
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        options.setdefault("inferSchema", "false" if schema else "true")
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return getattr(reader, fmt)(path_or_table)
+
+
+def write_table(
+    df: DataFrame,
+    path_or_table: str,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, str] | None = None,
+    **options,
+) -> None:
+    """Unified export (ExportOperations.scala analog). ``bucket_by``
+    requires a table sink (saveAsTable) — bucketing is the mechanism for
+    co-located, shuffle-free joins on the cluster."""
+    fmt = format.lower()
+    writer = df.write.mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, str(v))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if bucket_by:
+        n, col = bucket_by
+        writer.bucketBy(n, col).sortBy(col).format(fmt).saveAsTable(path_or_table)
+        return
+    if fmt in CATALOG_FORMATS:
+        writer.format(fmt).saveAsTable(path_or_table)
+        return
+    getattr(writer, fmt)(path_or_table)

@@ -1,0 +1,80 @@
+"""Event-stream operators.
+
+The reference is a pure batch system — no watermarks, stream windows, or
+stateful streaming anywhere (SURVEY.md §1.5); its closest notions are
+event-sequence segmentation (SegmentByEventSequence.scala) and interval
+bucketing. We provide both the batch equivalents (windowed aggregation,
+gap-based sessionization — used by the correctness gate on the ``events``
+table) and the Structured Streaming forms of the same plans, so the
+engine covers streaming ingestion at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event type (batch form).
+    Returns [window_start, event_type, n_events, sum_value]."""
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), window).alias("w"), F.col(type_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            type_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization (SegmentByEventSequence-style event
+    grouping, done the SQL way): a new session starts when the gap to the
+    user's previous event exceeds ``gap_minutes``. Session id = running
+    count of session starts per user. Returns the events annotated with
+    ``session_id`` (per-user, 1-based)."""
+    w = W.partitionBy(user_col).orderBy(ts_col)
+    prev_ts = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) > gap_minutes * 60),
+        1,
+    ).otherwise(0)
+    return events.withColumn("_new", is_new).withColumn(
+        "session_id", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0))
+    ).drop("_new")
+
+
+def streaming_event_counts(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """The same windowed aggregation as ``windowed_event_counts`` but as a
+    Structured Streaming query over a file source: readStream → watermark
+    → windowed agg. Caller attaches the sink (writeStream). Late rows
+    beyond the watermark are dropped — state stays bounded."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )

@@ -1,0 +1,106 @@
+"""Attribute operators, filter language, aggregations (SURVEY.md §2.5-2.6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lynxkite_spark.graph import example_graph
+from lynxkite_spark.operators.aggregate import (
+    aggregate_from_edges,
+    aggregate_on_neighbors,
+    aggregate_to_segmentation,
+    global_aggregate,
+    histogram,
+)
+from lynxkite_spark.operators.attributes import (
+    add_constant,
+    add_ranking,
+    bundle_into_vector,
+    correlate,
+    fallback,
+    filter_by_table,
+    filter_vertices,
+    hash_attribute,
+    one_hot_encode,
+)
+
+
+def test_filter_language(spark):
+    g = example_graph(spark)
+    v = g.vertices
+    assert filter_vertices(v, age=">20").count() == 2  # 20.3, 50.3
+    assert filter_vertices(v, age="[18,21)").count() == 2  # 18.2, 20.3
+    assert filter_vertices(v, gender="Male").count() == 3
+    assert filter_vertices(v, name="regex(^A)").count() == 1
+    assert filter_vertices(v, gender="!Male").count() == 1
+    assert filter_vertices(v, income="*").count() == 2  # defined values only
+    assert filter_vertices(v, age="<=2").count() == 1
+    assert filter_vertices(v, age=">20", gender="Male").count() == 2  # AND
+
+
+def test_filter_by_table(spark):
+    g = example_graph(spark)
+    keys = spark.createDataFrame([(0,), (3,)], "id long")
+    assert filter_by_table(g.vertices, keys).count() == 2
+    assert filter_by_table(g.vertices, keys, keep=False).count() == 2
+
+
+def test_aggregate_on_neighbors(spark):
+    """'Aggregate on neighbors' on the example graph
+    (AttributePropagationOperations.scala:17-155): average in-neighbor age."""
+    g = example_graph(spark)
+    got = {r["id"]: r["avg_age"] for r in aggregate_on_neighbors(g, "age", "avg", "in").collect()}
+    # in-nbrs: 0←{1,2}, 1←{0,2}: avg(18.2,50.3)=34.25, avg(20.3,50.3)=35.3
+    assert got[0] == pytest.approx(34.25)
+    assert got[1] == pytest.approx(35.3)
+    assert 2 not in got and 3 not in got  # partial attribute, like the reference
+
+
+def test_aggregate_weighted_and_from_edges(spark):
+    g = example_graph(spark)
+    got = {
+        r["id"]: r["wavg"]
+        for r in aggregate_on_neighbors(
+            g, "age", "weighted_average", "in", weight_attr="age", alias="wavg"
+        ).collect()
+    }
+    # weight = neighbor's own age here (weights live on the value vertex)
+    assert got[0] == pytest.approx((18.2 * 18.2 + 50.3 * 50.3) / (18.2 + 50.3), rel=1e-9)
+
+    sums = {r["id"]: r["sum_weight"] for r in aggregate_from_edges(g, "weight", "sum", "dst").collect()}
+    assert sums == {0: pytest.approx(5.0), 1: pytest.approx(5.0)}
+
+
+def test_aggregate_to_segmentation_and_global(spark):
+    g = example_graph(spark)
+    bt = spark.createDataFrame([(0, 0), (1, 0), (2, 0), (3, 3)], "id long, segment long")
+    got = {r["segment"]: r["avg_age"] for r in aggregate_to_segmentation(bt, g.vertices, "age", "avg").collect()}
+    assert got[0] == pytest.approx((20.3 + 18.2 + 50.3) / 3)
+    assert got[3] == pytest.approx(2.0)
+    assert global_aggregate(g.vertices, "income", "sum") == pytest.approx(3000.0)
+    assert global_aggregate(g.vertices, "age", "count") == 4
+
+
+def test_histogram(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    h = histogram(df, "x", buckets=10).collect()
+    assert len(h) == 10
+    assert all(r["count"] == 10 for r in h)
+
+
+def test_attribute_helpers(spark):
+    g = example_graph(spark)
+    v = add_constant(g.vertices, "k", 7)
+    assert v.select("k").distinct().first()["k"] == 7
+    r = add_ranking(g.vertices, "age_rank", "age")
+    got = {x["id"]: x["age_rank"] for x in r.collect()}
+    assert got == {3: 0, 1: 1, 0: 2, 2: 3}
+    fb = fallback(g.vertices, "income2", "income", "age")
+    assert {x["id"]: x["income2"] for x in fb.collect()}[1] == pytest.approx(18.2)
+    h1 = hash_attribute(g.vertices, "name", salt="s1").select("name_hashed").collect()
+    h2 = hash_attribute(g.vertices, "name", salt="s2").select("name_hashed").collect()
+    assert {r[0] for r in h1} != {r[0] for r in h2}  # salted
+    vec = bundle_into_vector(g.vertices, ["age", "income"]).first()["vector"]
+    assert len(vec) == 2
+    oh = one_hot_encode(g.vertices, "gender", ["Male", "Female"]).collect()
+    assert all(sum(r["gender_onehot"]) == 1.0 for r in oh)
+    assert correlate(g.vertices, "age", "income") == pytest.approx(1.0)

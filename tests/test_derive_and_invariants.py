@@ -1,0 +1,118 @@
+"""Corpus → edge derivation, sha256 integrity, partition invariance,
+checkpoint/resume (the north rule's cross-cutting requirements)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lynxkite_spark.corpus import synth_corpus, with_sha256
+from lynxkite_spark.derive import derive_file_edges, derive_repo_edges
+from lynxkite_spark.graph import Graph
+from lynxkite_spark.operators import connected_components, pagerank
+from lynxkite_spark.plans.checkpoint import CheckpointManager, step_key, table_fingerprint
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synth_corpus(spark, n_repos=20, n_files=200, seed=42).cache()
+
+
+def test_corpus_deterministic_and_partition_invariant(spark):
+    a = synth_corpus(spark, n_repos=10, n_files=100, seed=42)
+    b = synth_corpus(spark, n_repos=10, n_files=100, seed=42).repartition(13)
+    ah = a.select(F.sha2(F.concat_ws("|", "repo", "path", "commit", "lang", "content"), 256).alias("h"))
+    bh = b.select(F.sha2(F.concat_ws("|", "repo", "path", "commit", "lang", "content"), 256).alias("h"))
+    assert ah.exceptAll(bh).count() == 0 and bh.exceptAll(ah).count() == 0
+
+
+def test_derive_repo_edges(spark, corpus):
+    edges, repo_ids = derive_repo_edges(corpus)
+    e = edges.collect()
+    assert len(e) > 0
+    assert all(r["weight"] >= 1.0 for r in e)
+    # no self-edges; all endpoints resolve through the dictionary
+    ids = {r["id"] for r in repo_ids.collect()}
+    assert all(r["src"] in ids and r["dst"] in ids and r["src"] != r["dst"] for r in e)
+
+
+def test_derive_is_parallelism_invariant(spark, corpus):
+    e1, _ = derive_repo_edges(corpus.repartition(2))
+    e2, _ = derive_repo_edges(corpus.repartition(17))
+    d1 = {(r["src"], r["dst"]): r["weight"] for r in e1.collect()}
+    d2 = {(r["src"], r["dst"]): r["weight"] for r in e2.collect()}
+    assert d1 == d2
+
+
+def test_sha256_preserved_through_pipeline(spark, corpus):
+    """BASELINE.json:15 — content sha256 equality preserved through every
+    transform: tag the corpus, run it through derivation-shaped transforms,
+    join back on (repo, path) and compare hashes."""
+    tagged = with_sha256(corpus)
+    before = tagged.select("repo", "path", "sha256")
+    transformed = (
+        tagged.repartition(7, "repo")
+        .withColumn("n_imports", F.size(F.split("content", "import")) - 1)
+        .where(F.col("lang").isNotNull())
+        .select("repo", "path", "content", "n_imports")
+    )
+    after = with_sha256(transformed).select("repo", "path", F.col("sha256").alias("sha_after"))
+    joined = before.join(after, ["repo", "path"])
+    assert joined.count() == corpus.count()
+    assert joined.where(F.col("sha256") != F.col("sha_after")).count() == 0
+
+
+def test_file_edges(spark, corpus):
+    fe = derive_file_edges(corpus)
+    assert fe.count() > 0
+    assert fe.where(F.col("src") == F.col("dst")).count() == 0
+
+
+def test_pagerank_partition_invariance_on_derived_graph(spark, corpus):
+    """The reference's weak spot we fix (SURVEY.md §5b): results identical
+    (to fp tolerance) at different parallelism."""
+    edges, _ = derive_repo_edges(corpus)
+    g = Graph.from_edges(edges)
+    r1 = {r["id"]: r["pagerank"] for r in pagerank(g, iterations=5, tol=None).collect()}
+    g2 = Graph.from_edges(edges.repartition(3))
+    r2 = {r["id"]: r["pagerank"] for r in pagerank(g2, iterations=5, tol=None).collect()}
+    assert set(r1) == set(r2)
+    for k in r1:
+        assert r1[k] == pytest.approx(r2[k], abs=1e-12)
+
+
+def test_components_on_derived_graph_partition_invariant(spark, corpus):
+    edges, _ = derive_repo_edges(corpus)
+    g = Graph.from_edges(edges)
+    c1 = {r["id"]: r["component"] for r in connected_components(g).collect()}
+    c2 = {r["id"]: r["component"] for r in connected_components(Graph.from_edges(edges.repartition(5))).collect()}
+    assert c1 == c2  # bit-identical labels, not just isomorphic
+
+
+def test_checkpoint_resume(spark, corpus, tmp_path):
+    """Kill-after-iteration-k resume (SURVEY.md §5c): a second run with the
+    same content-hashed keys starts from the stored iteration and produces
+    identical ranks; the lineage sidecar carries per-partition metrics."""
+    edges, _ = derive_repo_edges(corpus)
+    g = Graph.from_edges(edges)
+    fp = table_fingerprint(edges, ["src", "dst"])
+    cp = CheckpointManager(spark, str(tmp_path / "ckpt"))
+
+    full = pagerank(g, iterations=6, tol=None, checkpoint=cp, checkpoint_every=3, input_fingerprint=fp)
+    ranks_full = {r["id"]: r["pagerank"] for r in full.collect()}
+    params = {"damping": 0.85, "iterations": 6, "tol": None, "direction": "outgoing"}
+    assert cp.exists(step_key(fp, "pagerank", params, 3))
+    assert cp.exists(step_key(fp, "pagerank", params, 6))
+    meta = cp.metrics(step_key(fp, "pagerank", params, 6))
+    assert meta["total_rows"] == len(ranks_full)
+    assert all("checksum" in p and p["rows"] > 0 for p in meta["partitions"])
+
+    # simulate a crash after iteration 3: drop the final checkpoint, resume
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ckpt" / step_key(fp, "pagerank", params, 6)))
+    resumed = pagerank(g, iterations=6, tol=None, checkpoint=cp, checkpoint_every=3, input_fingerprint=fp)
+    ranks_resumed = {r["id"]: r["pagerank"] for r in resumed.collect()}
+    assert ranks_resumed == ranks_full
+
+    # memoization hit: both checkpoints exist → load, no recompute
+    again = pagerank(g, iterations=6, tol=None, checkpoint=cp, checkpoint_every=3, input_fingerprint=fp)
+    assert {r["id"]: r["pagerank"] for r in again.collect()} == ranks_full

@@ -1,0 +1,158 @@
+"""Training-data pipeline functions: text analysis, dedup, similarity,
+multimodal plumbing — over the driver's documents/embeddings tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lynxkite_spark.functions.dedup import (
+    exact_duplicates,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_duplicates,
+)
+from lynxkite_spark.functions.multimodal import (
+    attach_media_metadata,
+    extract_features,
+    sample_frames,
+    synth_media,
+)
+from lynxkite_spark.functions.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+    embedding_near_duplicates,
+)
+from lynxkite_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "a b  c"), (2, ""), (3, "  x ")], "doc_id long, text string")
+    got = {r["doc_id"]: r["n_tokens"] for r in token_count(df).collect()}
+    assert got == {1: 3, 2: 0, 3: 1}
+    bpe = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_ish_token_count(df).collect()}
+    assert bpe[1] == 3
+
+
+def test_quality_and_fingerprint(docs):
+    q = quality_score(docs)
+    rows = q.select("quality_score", "q_alpha_ratio").collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+    fp = fingerprint(docs)
+    # normalization: whitespace-insensitive
+    assert fp.select("fingerprint").distinct().count() <= docs.count()
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it was good"),
+            (2, "der hund ist nicht in das haus und"),
+            (3, "le chat est dans la maison et il"),
+            (4, "xyzzy qqq zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["keeper"], r["is_duplicate"]) for r in exact_duplicates(df).collect()}
+    assert got == {1: (1, False), 2: (1, True), 3: (3, False)}
+
+
+def test_ngram_jaccard_and_minhash(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words describing unrelated things entirely here now"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
+    assert (1, 3) not in pairs
+
+    sigs = minhash_signatures(df, num_hashes=32)
+    assert sigs.count() == 3 and len(sigs.first()["sig"]) == 32
+    cand = minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
+    assert (1, 2) in {(r["a"], r["b"]) for r in cand.collect()}
+    dd = {(r["a"], r["b"]) for r in minhash_dedup(df, num_hashes=32, bands=8, threshold=0.5).collect()}
+    assert dd == {(1, 2)}
+
+
+def test_simhash(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa bbb ccc ddd"), (2, "aaa bbb ccc ddd"), (3, "zzz yyy xxx www")],
+        "doc_id long, text string",
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert sh[1] == sh[2] and sh[1] != sh[3]
+    dup = {r["doc_id"]: r["is_duplicate"] for r in simhash_duplicates(df).collect()}
+    assert dup == {1: False, 2: True, 3: False}
+
+
+def test_brute_force_topk_self_consistent(spark, embs):
+    queries = embs.where(F.col("vec_id") < 3)
+    out = brute_force_topk(embs, queries, k=5)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    per = {}
+    for r in rows:
+        per.setdefault(r["query_id"], []).append((r["rank"], r["cosine_sim"]))
+    for q, lst in per.items():
+        lst.sort()
+        sims = [s for _, s in lst]
+        assert sims == sorted(sims, reverse=True)
+        assert len(lst) == 5
+
+
+def test_ann_lsh_recall(spark, embs):
+    queries = embs.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(embs, queries, k=3)
+    approx = ann_lsh_topk(embs, queries, k=3, n_planes=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3  # 4 planes / 16 buckets on 500 vecs: loose sanity bound
+
+    nd = embedding_near_duplicates(embs, threshold=0.99)
+    assert all(r["a"] < r["b"] for r in nd.collect())
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, n=30)
+    meta = attach_media_metadata(media)
+    assert meta.where(F.col("payload_sha256").isNull()).count() == 0
+    feats = extract_features(media, dim=16)
+    rows = feats.collect()
+    assert len(rows) == 30 and all(len(r["feature"]) == 16 for r in rows)
+    # determinism: same payload → same features
+    again = {r["media_id"]: r["feature"] for r in extract_features(media, dim=16).collect()}
+    assert all(again[r["media_id"]] == r["feature"] for r in rows)
+    frames = sample_frames(media, every_ms=1000)
+    vids = media.where(F.col("kind") == "video").count()
+    assert frames.select("media_id").distinct().count() == vids

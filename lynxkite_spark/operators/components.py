@@ -97,7 +97,7 @@ def connected_components(
         for it in range(max_iterations):
             # cut lineage every round — star contraction references e
             # multiple times per iteration (plan growth, see materialize)
-            new_e = materialize(_small_star(_large_star(e)))
+            new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
             new_count = new_e.count()
             # converged when the edge set is stable (star graph reached):
             # equal cardinality and no edge outside the old set
@@ -126,7 +126,7 @@ def connected_components(
                 .groupBy("dst")
                 .agg(F.min("component").alias("nbr_min"))
             )
-            new_labels = materialize(
+            new_labels = (
                 labels.join(nbr_min, labels.id == nbr_min.dst, "left")
                 .select(
                     "id",
@@ -135,6 +135,7 @@ def connected_components(
                     ).alias("component"),
                 )
                 .repartition(n_part, "id")
+                .localCheckpoint(eager=False)  # materialized by the change check
             )
             changed = (
                 new_labels.alias("n")

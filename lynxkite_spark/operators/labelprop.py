@@ -61,10 +61,11 @@ def label_propagation(
         best = votes.groupBy("dst").agg(
             F.max_by("label", F.struct(F.col("w"), -F.col("label"))).alias("new_label")
         )
-        new_labels = materialize(
+        new_labels = (
             labels.join(best, labels.id == best.dst, "left")
             .select("id", F.coalesce("new_label", "label").alias("label"))
             .repartition(n_part, "id")
+            .localCheckpoint(eager=False)  # materialized by the change check
         )
         changed = (
             new_labels.alias("n")

@@ -82,13 +82,15 @@ def pagerank(
         return vertices.withColumn("pagerank", F.lit(0.0))
     en.count()  # materialize the normalized edges once
 
-    # hot-key set for the gather join, computed once (HybridRDD semantics)
+    # hot-key set for the gather join, computed once (HybridRDD semantics);
+    # when no key crosses the threshold the plain shuffle join is used —
+    # the hybrid split costs two extra joins per iteration for nothing
     if skew_threshold is None:
         from lynxkite_spark.session import HOT_KEY_THRESHOLD
 
         skew_threshold = HOT_KEY_THRESHOLD
     hot = hot_keys(en, "src", skew_threshold).persist(StorageLevel.MEMORY_AND_DISK)
-    hot.count()
+    use_hybrid = hot.count() > 0
 
     params = {"damping": damping, "iterations": iterations, "tol": tol, "direction": direction}
     fp = input_fingerprint or "anon"
@@ -109,45 +111,70 @@ def pagerank(
 
     limit = iterations if iterations is not None else max_iterations
     history: list[dict] = []
+    # localCheckpoint output (LogicalRDD) carries no size stats, so
+    # Catalyst can't see that the rank table is broadcastable — hint it
+    # explicitly while |V| is small enough (~16 bytes/row; default Spark
+    # broadcast budget). At web scale this is False and the co-partitioned
+    # shuffle join (or the hybrid hot-key split) takes over.
+    broadcast_ranks = n_vertices <= 4_000_000
+
     for k in range(start_iter + 1, limit + 1):
         rank_lookup = ranks.select(F.col("id").alias("src"), "pagerank")
-        gathered = hybrid_join(en, rank_lookup, "src", hot=hot)
-        contrib = materialize(
-            gathered.groupBy("dst").agg(
-                (F.sum(F.col("pagerank") * F.col("wn")) * F.lit(damping)).alias("incoming")
-            )
+        if broadcast_ranks:
+            gathered = en.join(F.broadcast(rank_lookup), "src")
+        elif use_hybrid:
+            gathered = hybrid_join(en, rank_lookup, "src", hot=hot)
+        else:
+            gathered = en.join(rank_lookup, "src")
+        contrib = gathered.groupBy("dst").agg(
+            (F.sum(F.col("pagerank") * F.col("wn")) * F.lit(damping)).alias("incoming")
         )
-        total_incoming = contrib.agg(F.sum("incoming")).first()[0] or 0.0
-        extra = (n_vertices - total_incoming) / n_vertices
+        # contrib feeds two plan branches (the total and the join): persist
+        # so the gather join runs once per iteration, not twice
+        contrib = contrib.persist(StorageLevel.MEMORY_AND_DISK)
+        # fold the dangling-mass total into the plan (broadcast 1-row agg)
+        # instead of collecting it — zero driver actions inside the loop
+        # body for fixed-iteration mode, one (the delta) for convergence
+        tot = contrib.agg(F.sum("incoming").alias("_tot"))
         new_ranks = (
-            vertices.join(contrib, vertices.id == contrib.dst, "left")
+            vertices.crossJoin(F.broadcast(tot))
+            .join(contrib, vertices.id == contrib.dst, "left")
             .select(
                 "id",
-                (F.coalesce(F.col("incoming"), F.lit(0.0)) + F.lit(extra)).alias("pagerank"),
+                (
+                    F.coalesce(F.col("incoming"), F.lit(0.0))
+                    + (F.lit(float(n_vertices)) - F.coalesce(F.col("_tot"), F.lit(0.0)))
+                    / F.lit(float(n_vertices))
+                ).alias("pagerank"),
             )
-            .repartition(n_part, "id")
         )
         if checkpoint is not None and (k % checkpoint_every == 0 or k == limit):
             key = step_key(fp, "pagerank", params, k)
             new_ranks = checkpoint.save(
-                new_ranks, key, metrics={"iteration": k, "extra": extra, "history": history}
+                new_ranks, key, metrics={"iteration": k, "history": history}
             )
-        # cut lineage every iteration: the plan references ranks 3-4x per
-        # round, so analysis time is exponential without truncation
-        new_ranks = materialize(new_ranks)
+        # cut lineage every iteration (lazily — materialized by the next
+        # action): the plan references ranks twice per round, so analysis
+        # time is exponential without truncation
+        new_ranks = new_ranks.localCheckpoint(eager=False)
 
         if tol is not None and iterations is None:
+            old = F.broadcast(ranks) if broadcast_ranks else ranks
             delta = (
                 new_ranks.alias("n")
-                .join(ranks.alias("o"), "id")
+                .join(old.alias("o"), "id")
                 .agg(F.max(F.abs(F.col("n.pagerank") - F.col("o.pagerank"))).alias("d"))
                 .first()["d"]
             )
             history.append({"iteration": k, "max_delta": delta})
+            contrib.unpersist()
             ranks = new_ranks
             if delta < tol:
                 break
         else:
+            # fixed mode defers all execution to the caller's action; the
+            # persisted contribs are dropped by the ContextCleaner once the
+            # truncated plans release them
             ranks = new_ranks
 
     en.unpersist()

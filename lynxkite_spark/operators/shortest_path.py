@@ -39,10 +39,11 @@ def shortest_path(
             e.join(dist, e.src == dist.id)
             .select(F.col("dst").alias("id"), (F.col("distance") + F.col("weight")).alias("distance"))
         )
-        new_dist = materialize(
+        new_dist = (
             dist.unionByName(relaxed)
             .groupBy("id")
             .agg(F.min("distance").alias("distance"))
+            .localCheckpoint(eager=False)  # materialized by the state check
         )
         new_state = new_dist.agg(
             F.count(F.lit(1)).alias("n"), F.sum("distance").alias("s")

@@ -159,3 +159,97 @@ def embedding_near_duplicates(
         .select("a", "b", cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    lloyd_iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: learn ``n_centroids`` centroids with a few Lloyd
+    iterations (pure DataFrame aggregation), assign the corpus to inverted
+    lists, probe each query's ``nprobe`` nearest lists with exact cosine.
+
+    Centroid init is value-derived (hash-sampled rows), so the index is
+    deterministic. Scale shape: assignment is one broadcast join per Lloyd
+    round (centroids are tiny); the query join touches nprobe/n_centroids
+    of the corpus.
+    """
+    c = _as_double(corpus, vec_col).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    # deterministic init: the n_centroids rows with smallest hash
+    init = (
+        c.withColumn("_h", F.xxhash64("_id", F.lit(seed)))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .select(F.monotonically_increasing_id().alias("cid"), F.col("_v").alias("cv"))
+    )
+    cent = F.broadcast(init)
+    for _ in range(lloyd_iterations):
+        assigned = (
+            c.crossJoin(cent)
+            .withColumn("_sim", cosine(F.col("_v"), F.col("cv")))
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    W.partitionBy("_id").orderBy(F.col("_sim").desc(), F.col("cid"))
+                ),
+            )
+            .where(F.col("_rk") == 1)
+        )
+        cent = F.broadcast(
+            assigned.select("cid", "_v")
+            .groupBy("cid")
+            .agg(F.collect_list("_v").alias("vs"))
+            .select(
+                "cid",
+                F.expr(
+                    "transform(sequence(0, size(vs[0]) - 1),"
+                    " i -> aggregate(vs, cast(0.0 as double),"
+                    " (acc, v) -> acc + v[i]) / size(vs))"
+                ).alias("cv"),
+            )
+        )
+    lists = (
+        c.crossJoin(cent)
+        .withColumn("_sim", cosine(F.col("_v"), F.col("cv")))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                W.partitionBy("_id").orderBy(F.col("_sim").desc(), F.col("cid"))
+            ),
+        )
+        .where(F.col("_rk") == 1)
+        .select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("_cv2"), "cid")
+    )
+    q = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    q_probe = (
+        q.crossJoin(cent)
+        .withColumn("_sim", cosine(F.col("_qv"), F.col("cv")))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cid"))
+            ),
+        )
+        .where(F.col("_rk") <= nprobe)
+        .select("query_id", "_qv", "cid")
+    )
+    scored = (
+        q_probe.join(lists, "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv2")).alias("cosine_sim")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

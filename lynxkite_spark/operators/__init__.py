@@ -4,6 +4,12 @@ from lynxkite_spark.operators.labelprop import label_propagation
 from lynxkite_spark.operators.triangles import triangle_count, enumerate_triangles
 from lynxkite_spark.operators.degrees import degree
 from lynxkite_spark.operators.shortest_path import shortest_path
+from lynxkite_spark.operators.centrality import (
+    eigenvector_centrality,
+    harmonic_centrality,
+    katz_centrality,
+)
+from lynxkite_spark.operators.coloring import greedy_coloring
 
 __all__ = [
     "pagerank",
@@ -13,4 +19,8 @@ __all__ = [
     "enumerate_triangles",
     "degree",
     "shortest_path",
+    "eigenvector_centrality",
+    "harmonic_centrality",
+    "katz_centrality",
+    "greedy_coloring",
 ]

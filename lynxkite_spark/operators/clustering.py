@@ -99,3 +99,39 @@ def modularity(graph: Graph, belongs_to: DataFrame, label_col: str = "label") ->
         )
     )
     return per_c.agg(F.sum("q")).first()[0]
+
+
+def dispersion(graph: Graph) -> DataFrame:
+    """Dispersion.scala — Backstrom-Kleinberg dispersion per edge: among
+    the common neighbors C(u,v) of an edge's endpoints, the number of
+    pairs {s,t} that are not themselves adjacent ("absolute dispersion",
+    the recognizer of romantic ties in the original paper).
+    Returns DataFrame[src, dst, dispersion] over distinct undirected edges.
+    """
+    und = canonical_edges(graph.edges)
+    nbr = und.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    # common neighbors of each edge (u,v): s adjacent to both
+    left = nbr.select(F.col("v").alias("a"), F.col("n"))
+    right = nbr.select(F.col("v").alias("b"), F.col("n"))
+    cn = (
+        und.join(left, "a")
+        .join(right, ["b", "n"])
+        .select("a", "b", F.col("n").alias("s"))
+    )
+    # pairs of common neighbors
+    pairs = (
+        cn.alias("x")
+        .join(cn.alias("y"), ["a", "b"])
+        .where(F.col("x.s") < F.col("y.s"))
+        .select("a", "b", F.col("x.s").alias("s"), F.col("y.s").alias("t"))
+    )
+    adj = und.select(F.col("a").alias("s"), F.col("b").alias("t"))
+    non_adj = pairs.join(adj, ["s", "t"], "left_anti")
+    disp = non_adj.groupBy("a", "b").agg(F.count(F.lit(1)).alias("dispersion"))
+    return und.join(disp, ["a", "b"], "left").select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        F.coalesce("dispersion", F.lit(0)).alias("dispersion"),
+    )

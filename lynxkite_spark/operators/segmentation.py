@@ -1,0 +1,105 @@
+"""Segmentation operators (SURVEY.md §2.3 segmentation rows).
+
+A segmentation is a ``belongs_to[id, segment]`` table (§1.2); these ops
+build and transform them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from lynxkite_spark.graph import Graph
+
+
+def edges_from_segmentation(belongs_to: DataFrame) -> DataFrame:
+    """EdgesFromSegmentation.scala — clique edges between all ordered
+    pairs of co-members within each segment. Segment sizes are the skew
+    axis: a giant segment is a quadratic blowup, which is why the
+    reference also ships SampleEdgesFromSegmentation; cap with
+    ``sample_edges_from_segmentation`` at scale."""
+    a = belongs_to.select(F.col("segment"), F.col("id").alias("src"))
+    b = belongs_to.select(F.col("segment"), F.col("id").alias("dst"))
+    return (
+        a.join(b, "segment")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+
+
+def sample_edges_from_segmentation(
+    belongs_to: DataFrame, max_pairs_per_segment: int = 1000, seed: int = 42
+) -> DataFrame:
+    """SampleEdgesFromSegmentation.scala — bounded, deterministic sample
+    of each segment's clique: rank members by a value-derived hash and
+    pair only the first ⌈√cap⌉ with each other."""
+    k = int(max_pairs_per_segment ** 0.5) + 1
+    w = W.partitionBy("segment").orderBy(F.xxhash64("id", F.lit(seed)), "id")
+    ranked = belongs_to.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= k)
+    a = ranked.select("segment", F.col("id").alias("src"))
+    b = ranked.select("segment", F.col("id").alias("dst"))
+    return a.join(b, "segment").where(F.col("src") != F.col("dst")).select("src", "dst")
+
+
+def grow_segmentation(graph: Graph, belongs_to: DataFrame) -> DataFrame:
+    """GrowSegmentation.scala — add each member's parent-graph neighbors
+    to its segments (one hop, both directions)."""
+    e = graph.edges.select("src", "dst")
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    grown = (
+        belongs_to.join(sym, belongs_to.id == sym.src)
+        .select(F.col("dst").alias("id"), "segment")
+    )
+    return belongs_to.select("id", "segment").unionByName(grown).distinct()
+
+
+def combine_segmentations(a: DataFrame, b: DataFrame) -> DataFrame:
+    """CombineSegmentations.scala — the intersection segmentation: one
+    segment per (segment_a, segment_b) pair, membership = in both.
+    Segment ids are value-derived (xxhash64 of the pair) → deterministic
+    across runs and parallelism."""
+    aa = a.select("id", F.col("segment").alias("_sa"))
+    bb = b.select("id", F.col("segment").alias("_sb"))
+    return (
+        aa.join(bb, "id")
+        .select("id", F.xxhash64("_sa", "_sb").alias("segment"))
+    )
+
+
+def segmentation_sizes(belongs_to: DataFrame) -> DataFrame:
+    return belongs_to.groupBy("segment").agg(F.count(F.lit(1)).alias("size"))
+
+
+def vertex_set_intersection(*vertex_sets: DataFrame) -> DataFrame:
+    """Intersections.scala — vertices present in every input set."""
+    out = vertex_sets[0].select("id").distinct()
+    for vs in vertex_sets[1:]:
+        out = out.join(vs.select("id").distinct(), "id", "left_semi")
+    return out
+
+
+def sample_vertices(vertices: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """SampleVertices.scala — unbiased vertex sample. NOTE: df.sample is
+    partition-dependent; for a value-derived (partition-invariant) sample
+    use ``deterministic_sample``."""
+    return vertices.sample(fraction=fraction, seed=seed)
+
+
+def deterministic_sample(vertices: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """Value-derived sampling: keep id iff hash(id, seed) < fraction —
+    bit-identical at any parallelism (our partition-invariance discipline,
+    SURVEY.md §4.2)."""
+    bound = int(fraction * (1 << 63))
+    return vertices.where(F.abs(F.xxhash64("id", F.lit(seed))) < bound)
+
+
+def segment_by_interval(
+    vertices: DataFrame, attr: str, interval: float, name: str = "segment"
+) -> DataFrame:
+    """'Segment by interval' (BuildSegmentationOperations.scala:598) —
+    bucket a numeric attribute into fixed-width intervals; segment id =
+    floor(value/interval)."""
+    return vertices.where(F.col(attr).isNotNull()).select(
+        "id", F.floor(F.col(attr) / F.lit(interval)).cast("long").alias(name)
+    )

@@ -100,15 +100,25 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     return times, extra
 
 
-def pagerank_throughput(spark, sf_dir: str, iterations: int = 10) -> float:
+def pagerank_throughput(spark, iterations: int = 10, n: int | None = None) -> tuple[float, int]:
     """edges processed/sec = |E| × iterations / wall — fixed-iteration
-    run for a clean scaling comparison (BASELINE.md protocol)."""
-    g = coorder_graph(spark, sf_dir, symmetric=True)
+    run for a clean scaling comparison (BASELINE.md protocol).
+
+    Input: the deterministic scale-free generator (identical graph at any
+    parallelism — the 'same input, two cluster sizes' requirement), sized
+    so per-core work dominates scheduling overhead."""
+    from lynxkite_spark.operators.generators import scale_free
+
+    n = n or int(os.environ.get("SPARK_GRAFT_SCALE_N", "1000000"))
+    g = scale_free(spark, n=n, out_degree=8, seed=42)
+    from lynxkite_spark.plans.checkpoint import materialize
+
+    g = Graph(vertices=materialize(g.vertices), edges=materialize(g.edges))
     e = g.edges.count()
     t0 = time.time()
     pagerank(g, damping=0.85, iterations=iterations, tol=None).count()
     dt = time.time() - t0
-    return e * iterations / dt
+    return e * iterations / dt, e
 
 
 def main():
@@ -117,17 +127,19 @@ def main():
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         # two-parallelism evidence for the N→4N scaling criterion
         results = {}
+        n_edges = 0
         for cores in (8, 32):
             spark = get_spark(cores=cores, shuffle_partitions=cores, app_name=f"bench{cores}")
-            results[cores] = pagerank_throughput(spark, SF_DIR)
+            results[cores], n_edges = pagerank_throughput(spark)
             spark.stop()
         eff = (results[32] / results[8]) / 4.0
         print(json.dumps({
             "metric": "pagerank_scaling",
+            "edges": n_edges,
+            "iterations": 10,
             "throughput_eps_8": round(results[8]),
             "throughput_eps_32": round(results[32]),
             "scaling_efficiency": round(eff, 3),
-            "sf": SF_DIR,
         }))
         return
 

@@ -36,7 +36,13 @@ from lynxkite_spark.operators import (
 )
 from lynxkite_spark.operators.aggregate import aggregate_to_segmentation
 from lynxkite_spark.operators.attributes import filter_vertices
-from lynxkite_spark.operators.clustering import clustering_coefficient
+from lynxkite_spark.operators.centrality import (
+    laplacian_centrality,
+    lin_centrality,
+    sfigality,
+)
+from lynxkite_spark.operators.clustering import clustering_coefficient, embeddedness
+from lynxkite_spark.operators.kcore import core_decomposition
 from lynxkite_spark.operators.structure import concatenate_bundles
 from lynxkite_spark.functions.dedup import (
     exact_duplicates,
@@ -181,6 +187,37 @@ def _q_shortest_path(spark, sf_dir):
     start = g.vertices.agg(F.min("id").alias("id")).select("id", F.lit(0.0).alias("distance"))
     return shortest_path(g, start, max_iterations=20).select(
         "id", F.col("distance").cast("double").alias("distance")
+    )
+
+
+def _q_kcore(spark, sf_dir):
+    g = _coorder_graph(spark, sf_dir)
+    return core_decomposition(g)
+
+
+def _q_sfigality(spark, sf_dir):
+    g = _coorder_graph(spark, sf_dir)
+    return sfigality(g).select("id", F.round("sfigality", 6).alias("sfigality"))
+
+
+def _q_laplacian(spark, sf_dir):
+    g = _coorder_graph(spark, sf_dir)
+    return laplacian_centrality(g)
+
+
+def _q_embeddedness(spark, sf_dir):
+    g = _coorder_graph(spark, sf_dir)
+    return embeddedness(g).select(
+        F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+        F.col("embeddedness").cast("long").alias("embeddedness"),
+    )
+
+
+def _q_lin(spark, sf_dir):
+    g = _coorder_graph(spark, sf_dir)
+    return lin_centrality(g, max_distance=2).select(
+        "id", F.round("lin", 6).alias("lin")
     )
 
 
@@ -429,6 +466,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering_coefficient": _q_clustering,
         "graph_label_propagation": _q_lpa,
         "graph_shortest_path": _q_shortest_path,
+        "graph_kcore": _q_kcore,
+        "graph_sfigality": _q_sfigality,
+        "graph_laplacian_centrality": _q_laplacian,
+        "graph_embeddedness": _q_embeddedness,
+        "graph_lin_centrality": _q_lin,
         "graph_concat_bundles": _q_concat_bundles,
         "filter_predicate_language": _q_filter_language,
         "aggregate_to_segmentation": _q_agg_segmentation,
@@ -522,6 +564,70 @@ def oracle_sql() -> dict[str, str]:
               WHERE walk.d < 19
             )
             SELECT id, CAST(min(d) AS DOUBLE) AS distance FROM walk GROUP BY id
+        """,
+        # graph_kcore: intentionally oracle-less — iterative h-index
+        # peeling (Montresor et al.) is not expressible in one SQL query;
+        # the driver records the rows-only check.
+        "graph_sfigality": f"""
+            WITH e0 AS ({_EDGES_CANON_SQL}),
+            sym AS (SELECT a AS src, b AS dst FROM e0
+                    UNION ALL SELECT b, a FROM e0),
+            deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+            sf AS (
+              SELECT sym.src AS id,
+                     sum(CASE WHEN dd.deg > ds.deg THEN 1 ELSE 0 END) * 1.0
+                       / count(*) AS s
+              FROM sym JOIN deg ds ON sym.src = ds.id
+                       JOIN deg dd ON sym.dst = dd.id
+              GROUP BY sym.src)
+            SELECT p.p_partkey AS id,
+                   round(coalesce(sf.s, 0.0), 6) AS sfigality
+            FROM part p LEFT JOIN sf ON p.p_partkey = sf.id
+        """,
+        "graph_laplacian_centrality": f"""
+            WITH e0 AS ({_EDGES_CANON_SQL}),
+            sym AS (SELECT a AS src, b AS dst FROM e0
+                    UNION ALL SELECT b, a FROM e0),
+            deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+            ns AS (SELECT sym.src AS id, sum(dd.deg) AS nsum
+                   FROM sym JOIN deg dd ON sym.dst = dd.id GROUP BY sym.src)
+            SELECT p.p_partkey AS id,
+                   CAST(coalesce(deg.deg, 0) * coalesce(deg.deg, 0)
+                        + coalesce(deg.deg, 0)
+                        + 2 * coalesce(ns.nsum, 0) AS DOUBLE) AS laplacian
+            FROM part p
+            LEFT JOIN deg ON p.p_partkey = deg.id
+            LEFT JOIN ns ON p.p_partkey = ns.id
+        """,
+        "graph_embeddedness": f"""
+            WITH e0 AS ({_EDGES_CANON_SQL}),
+            sym AS (SELECT a AS src, b AS dst FROM e0
+                    UNION ALL SELECT b, a FROM e0),
+            mut AS (
+              SELECT e0.a, e0.b, count(*) AS m
+              FROM e0 JOIN sym s1 ON s1.src = e0.a
+                      JOIN sym s2 ON s2.src = e0.b AND s2.dst = s1.dst
+              GROUP BY e0.a, e0.b)
+            SELECT e0.a, e0.b, coalesce(mut.m, 0) AS embeddedness
+            FROM e0 LEFT JOIN mut ON e0.a = mut.a AND e0.b = mut.b
+        """,
+        "graph_lin_centrality": f"""
+            WITH RECURSIVE e AS (SELECT a AS src, b AS dst
+                                 FROM ({_EDGES_CANON_SQL}) AS t),
+            walk(root, v, d) AS (
+              SELECT p_partkey, p_partkey, 0 FROM part
+              UNION
+              SELECT w.root, e.dst, w.d + 1 FROM walk w JOIN e ON w.v = e.src
+              WHERE w.d < 2
+            ),
+            dist AS (SELECT root, v, min(d) AS d FROM walk GROUP BY root, v),
+            agg AS (SELECT v, count(*) AS size, sum(d) AS sum_d
+                    FROM dist GROUP BY v)
+            SELECT p.p_partkey AS id,
+                   round(CASE WHEN coalesce(agg.sum_d, 0) = 0 THEN 1.0
+                         ELSE agg.size * agg.size * 1.0 / agg.sum_d END,
+                         6) AS lin
+            FROM part p LEFT JOIN agg ON p.p_partkey = agg.v
         """,
         "graph_concat_bundles": """
             SELECT o.o_custkey AS custkey, l.l_partkey AS partkey,

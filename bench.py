@@ -115,44 +115,80 @@ def pagerank_throughput(spark, iterations: int = 10, n: int | None = None) -> tu
 
     g = Graph(vertices=materialize(g.vertices), edges=materialize(g.edges))
     e = g.edges.count()
+    # JIT/codegen warm-up so the first measured parallelism level isn't
+    # penalized relative to the second (both sessions share one JVM)
+    pagerank(g, damping=0.85, iterations=1, tol=None).count()
     t0 = time.time()
     pagerank(g, damping=0.85, iterations=iterations, tol=None).count()
     dt = time.time() - t0
     return e * iterations / dt, e
 
 
+def scaling_run() -> dict:
+    """Two-parallelism evidence for the north rule's N→4N criterion:
+    the same PageRank job on the same deterministic input at local[8]
+    and local[32]; efficiency = (throughput₃₂/throughput₈)/4."""
+    results: dict[int, float] = {}
+    n_edges = 0
+    for cores in (8, 32):
+        spark = get_spark(cores=cores, shuffle_partitions=cores, app_name=f"bench{cores}")
+        results[cores], n_edges = pagerank_throughput(spark)
+        spark.stop()
+    eff = (results[32] / results[8]) / 4.0
+    return {
+        "edges": n_edges,
+        "iterations": 10,
+        "throughput_eps_8": round(results[8]),
+        "throughput_eps_32": round(results[32]),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def write_scaling_report(scaling: dict) -> None:
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
+    with open(path, "w") as f:
+        f.write(
+            "# BENCH/BASELINE.md — two-parallelism scaling evidence\n\n"
+            "Sandbox stand-in for the north rule's N→4N executor criterion\n"
+            "(BASELINE.md measurement protocol): the same fixed-iteration\n"
+            "PageRank job on the same deterministic scale-free graph at\n"
+            "local[8] and local[32].\n\n"
+            "| quantity | value |\n|---|---|\n"
+            f"| edges | {scaling['edges']} |\n"
+            f"| iterations | {scaling['iterations']} |\n"
+            f"| throughput @ local[8] (edges/sec) | {scaling['throughput_eps_8']} |\n"
+            f"| throughput @ local[32] (edges/sec) | {scaling['throughput_eps_32']} |\n"
+            f"| scaling efficiency (target ≥ 0.8) | {scaling['scaling_efficiency']} |\n\n"
+            "Efficiency = (throughput₃₂ / throughput₈) / (32/8). Generated by\n"
+            "`python bench.py` (also emitted in the JSON line under `scaling`).\n"
+        )
+
+
 def main():
     out: dict = {"sf": SF_DIR, "unit": "sec"}
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        # two-parallelism evidence for the N→4N scaling criterion
-        results = {}
-        n_edges = 0
-        for cores in (8, 32):
-            spark = get_spark(cores=cores, shuffle_partitions=cores, app_name=f"bench{cores}")
-            results[cores], n_edges = pagerank_throughput(spark)
-            spark.stop()
-        eff = (results[32] / results[8]) / 4.0
-        print(json.dumps({
-            "metric": "pagerank_scaling",
-            "edges": n_edges,
-            "iterations": 10,
-            "throughput_eps_8": round(results[8]),
-            "throughput_eps_32": round(results[32]),
-            "scaling_efficiency": round(eff, 3),
-        }))
+        # scaling-only fast path
+        scaling = scaling_run()
+        write_scaling_report(scaling)
+        print(json.dumps({"metric": "pagerank_scaling", **scaling}))
         return
 
     spark = get_spark(cores=CPUS, shuffle_partitions=CPUS, app_name="bench")
     t0 = time.time()
     times, extra = run_suite(spark, SF_DIR)
     total = round(time.time() - t0, 3)
+    spark.stop()
     out.update({
         "metric": "graph_suite_wall_seconds",
         "value": total,
         "queries": times,
         **extra,
     })
+    if os.environ.get("SPARK_GRAFT_SCALING") != "0":
+        out["scaling"] = scaling_run()
+        write_scaling_report(out["scaling"])
     print(json.dumps(out))
 
 

@@ -5,11 +5,17 @@ from lynxkite_spark.operators.triangles import triangle_count, enumerate_triangl
 from lynxkite_spark.operators.degrees import degree
 from lynxkite_spark.operators.shortest_path import shortest_path
 from lynxkite_spark.operators.centrality import (
+    average_distance,
     eigenvector_centrality,
     harmonic_centrality,
     katz_centrality,
+    laplacian_centrality,
+    lin_centrality,
+    sfigality,
 )
 from lynxkite_spark.operators.coloring import greedy_coloring
+from lynxkite_spark.operators.kcore import core_decomposition
+from lynxkite_spark.operators.sampling import random_walk_sample
 
 __all__ = [
     "pagerank",
@@ -22,5 +28,11 @@ __all__ = [
     "eigenvector_centrality",
     "harmonic_centrality",
     "katz_centrality",
+    "lin_centrality",
+    "average_distance",
+    "sfigality",
+    "laplacian_centrality",
     "greedy_coloring",
+    "core_decomposition",
+    "random_walk_sample",
 ]

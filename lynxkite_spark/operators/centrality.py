@@ -34,7 +34,9 @@ def eigenvector_centrality(
     if n == 0:
         return vertices.withColumn("eigenvector", F.lit(0.0))
     x = vertices.select("id", F.lit(1.0 / n).alias("x")).localCheckpoint(eager=False)
-    small = n <= 4_000_000
+    # broadcast only truly small state: building a broadcast relation is a
+    # serial driver step per iteration (see pagerank.py)
+    small = n <= 200_000
     limit = iterations if iterations is not None else max_iterations
     for k in range(limit):
         lookup = x.select(F.col("id").alias("src"), "x")
@@ -84,7 +86,9 @@ def katz_centrality(
     e = g.edges.select("src", "dst", "weight").persist(StorageLevel.MEMORY_AND_DISK)
     vertices = g.vertices.select("id").persist(StorageLevel.MEMORY_AND_DISK)
     n = vertices.count()
-    small = n <= 4_000_000
+    # broadcast only truly small state: building a broadcast relation is a
+    # serial driver step per iteration (see pagerank.py)
+    small = n <= 200_000
     x = vertices.select("id", F.lit(beta).alias("x")).localCheckpoint(eager=False)
     for _ in range(iterations):
         lookup = x.select(F.col("id").alias("src"), "x")

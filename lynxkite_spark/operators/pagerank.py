@@ -51,6 +51,7 @@ def pagerank(
     checkpoint_every: int = 10,
     input_fingerprint: str | None = None,
     skew_threshold: int | None = None,
+    broadcast_threshold: int = 200_000,
 ) -> DataFrame:
     """Returns DataFrame[id: long, pagerank: double].
 
@@ -76,10 +77,27 @@ def pagerank(
         .repartition(n_part, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    vertices = g.vertices.select("id").repartition(n_part, "id").persist(StorageLevel.MEMORY_AND_DISK)
+    # rank state carries has_out so the dangling-mass total needs no pass
+    # over the gathered contributions: per-src normalized weights sum to 1,
+    # so Σ incoming = damping · Σ rank over non-dangling vertices — an
+    # exact algebraic identity that turns the global total into a scan of
+    # the (small, cached) rank table instead of a second consumption of
+    # the expensive gather join.
+    srcs = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("has_out", F.lit(True))
+    )
+    vertices = (
+        g.vertices.select("id")
+        .join(srcs, "id", "left")
+        .select("id", F.coalesce("has_out", F.lit(False)).alias("has_out"))
+        .repartition(n_part, "id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n_vertices = vertices.count()
     if n_vertices == 0:
-        return vertices.withColumn("pagerank", F.lit(0.0))
+        return vertices.select("id").withColumn("pagerank", F.lit(0.0))
     en.count()  # materialize the normalized edges once
 
     # hot-key set for the gather join, computed once (HybridRDD semantics);
@@ -97,14 +115,17 @@ def pagerank(
 
     # resume: find the newest checkpointed iteration
     start_iter = 0
-    ranks = vertices.select("id", F.lit(1.0).alias("pagerank"))
+    ranks = vertices.select("id", "has_out", F.lit(1.0).alias("pagerank"))
     if checkpoint is not None:
         limit = iterations if iterations is not None else max_iterations
         for k in range(limit, 0, -1):
             key = step_key(fp, "pagerank", params, k)
             cached = checkpoint.load(key)
             if cached is not None:
-                ranks = cached
+                if "has_out" in cached.columns:
+                    ranks = cached
+                else:
+                    ranks = vertices.join(cached.select("id", "pagerank"), "id")
                 start_iter = k
                 break
     ranks = materialize(ranks.repartition(n_part, "id"))
@@ -113,10 +134,13 @@ def pagerank(
     history: list[dict] = []
     # localCheckpoint output (LogicalRDD) carries no size stats, so
     # Catalyst can't see that the rank table is broadcastable — hint it
-    # explicitly while |V| is small enough (~16 bytes/row; default Spark
-    # broadcast budget). At web scale this is False and the co-partitioned
+    # explicitly while |V| is small. Building a broadcast relation is a
+    # SERIAL driver-side step repeated every iteration; measured on this
+    # box it stops paying for itself around a few hundred thousand rows,
+    # and past that it caps scaling (the parallel join is fast, the
+    # broadcast build is not). Above the threshold the co-partitioned
     # shuffle join (or the hybrid hot-key split) takes over.
-    broadcast_ranks = n_vertices <= 4_000_000
+    broadcast_ranks = n_vertices <= broadcast_threshold
 
     for k in range(start_iter + 1, limit + 1):
         rank_lookup = ranks.select(F.col("id").alias("src"), "pagerank")
@@ -125,22 +149,29 @@ def pagerank(
         elif use_hybrid:
             gathered = hybrid_join(en, rank_lookup, "src", hot=hot)
         else:
-            gathered = en.join(rank_lookup, "src")
+            # hash join with the rank table as build side: avoids
+            # re-sorting the (much larger) edge table every iteration,
+            # which SMJ would do despite the stable partitioning
+            gathered = en.join(rank_lookup.hint("shuffle_hash"), "src")
         contrib = gathered.groupBy("dst").agg(
             (F.sum(F.col("pagerank") * F.col("wn")) * F.lit(damping)).alias("incoming")
         )
-        # contrib feeds two plan branches (the total and the join): persist
-        # so the gather join runs once per iteration, not twice
-        contrib = contrib.persist(StorageLevel.MEMORY_AND_DISK)
-        # fold the dangling-mass total into the plan (broadcast 1-row agg)
-        # instead of collecting it — zero driver actions inside the loop
+        # dangling-mass total from the cached rank table (identity above):
+        # a broadcast 1-row agg in-plan — zero driver actions in the loop
         # body for fixed-iteration mode, one (the delta) for convergence
-        tot = contrib.agg(F.sum("incoming").alias("_tot"))
+        tot = ranks.where(F.col("has_out")).agg(
+            (F.sum("pagerank") * F.lit(damping)).alias("_tot")
+        )
         new_ranks = (
-            vertices.crossJoin(F.broadcast(tot))
-            .join(contrib, vertices.id == contrib.dst, "left")
+            ranks.crossJoin(F.broadcast(tot))
+            .join(
+                contrib if broadcast_ranks else contrib.hint("shuffle_hash"),
+                ranks.id == contrib.dst,
+                "left",
+            )
             .select(
                 "id",
+                "has_out",
                 (
                     F.coalesce(F.col("incoming"), F.lit(0.0))
                     + (F.lit(float(n_vertices)) - F.coalesce(F.col("_tot"), F.lit(0.0)))
@@ -167,17 +198,14 @@ def pagerank(
                 .first()["d"]
             )
             history.append({"iteration": k, "max_delta": delta})
-            contrib.unpersist()
             ranks = new_ranks
             if delta < tol:
                 break
         else:
-            # fixed mode defers all execution to the caller's action; the
-            # persisted contribs are dropped by the ContextCleaner once the
-            # truncated plans release them
+            # fixed mode defers all execution to the caller's action
             ranks = new_ranks
 
     en.unpersist()
     hot.unpersist()
     vertices.unpersist()
-    return ranks
+    return ranks.select("id", "pagerank")

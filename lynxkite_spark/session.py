@@ -57,9 +57,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
-        # iterative algorithms re-use one shuffle by co-partitioning on id/src;
-        # keep the broadcast threshold generous for dictionary joins
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast threshold stays at Spark's default 10MB: every join that
+        # SHOULD broadcast (dictionaries, hot-key subsets, small rank
+        # tables) is hinted explicitly with F.broadcast(). A generous
+        # threshold is actively harmful in the iterative loops — AQE
+        # converts the per-iteration rank join into a runtime broadcast,
+        # and building a multi-million-row broadcast relation is a serial
+        # driver-side step that caps scaling (measured: 3x slowdown at 32
+        # cores on the PageRank gather join).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -111,8 +111,16 @@ def test_checkpoint_resume(spark, corpus, tmp_path):
     shutil.rmtree(str(tmp_path / "ckpt" / step_key(fp, "pagerank", params, 6)))
     resumed = pagerank(g, iterations=6, tol=None, checkpoint=cp, checkpoint_every=3, input_fingerprint=fp)
     ranks_resumed = {r["id"]: r["pagerank"] for r in resumed.collect()}
-    assert ranks_resumed == ranks_full
+    # allclose, not bit-equality: the parquet-loaded checkpoint has a
+    # different within-partition row order than the in-memory chain, so
+    # float sums downstream may differ in the last ULP (SURVEY.md §7.3 —
+    # float reductions are order-sensitive by design; the north rule's
+    # contract is allclose 1e-6, asserted here 10^6 x tighter)
+    assert set(ranks_resumed) == set(ranks_full)
+    assert all(abs(ranks_resumed[k] - ranks_full[k]) < 1e-12 for k in ranks_full)
 
-    # memoization hit: both checkpoints exist → load, no recompute
+    # memoization hit: both checkpoints exist → load, no recompute —
+    # loads the parquet written by the resumed run verbatim, hence
+    # bit-identical to THAT run
     again = pagerank(g, iterations=6, tol=None, checkpoint=cp, checkpoint_every=3, input_fingerprint=fp)
-    assert {r["id"]: r["pagerank"] for r in again.collect()} == ranks_full
+    assert {r["id"]: r["pagerank"] for r in again.collect()} == ranks_resumed

@@ -37,6 +37,9 @@ from lynxkite_spark.operators import (
 from lynxkite_spark.operators.aggregate import aggregate_to_segmentation
 from lynxkite_spark.operators.attributes import filter_vertices
 from lynxkite_spark.operators.centrality import (
+    average_distance,
+    eigenvector_centrality,
+    harmonic_centrality,
     laplacian_centrality,
     lin_centrality,
     sfigality,
@@ -124,6 +127,49 @@ def _pagerank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, round(r, 6) AS pagerank FROM r{iterations}"
     )
+
+
+def _eigenvector_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled fixed-iteration L1-normalized power iteration on the
+    canonical directed co-order graph (centrality.py semantics:
+    x' = A·x / ‖A·x‖₁, empty-norm → 0)."""
+    ctes = [
+        f"e AS (SELECT a AS src, b AS dst FROM ({_EDGES_CANON_SQL}) AS t)",
+        "v AS (SELECT p_partkey AS id FROM part)",
+        "nv AS (SELECT count(*) AS n FROM v)",
+        "x0 AS (SELECT v.id, 1.0 / nv.n AS x FROM v CROSS JOIN nv)",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        ctes.append(
+            f"a{k} AS (SELECT e.dst AS id, sum(x{p}.x) AS ax "
+            f"FROM e JOIN x{p} ON e.src = x{p}.id GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"n{k} AS (SELECT coalesce(sum(abs(ax)), 0) AS n1 FROM a{k})"
+        )
+        ctes.append(
+            f"x{k} AS (SELECT v.id, CASE WHEN n{k}.n1 > 0 "
+            f"THEN coalesce(a{k}.ax, 0) / n{k}.n1 ELSE 0 END AS x "
+            f"FROM v CROSS JOIN n{k} LEFT JOIN a{k} ON v.id = a{k}.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(x, 6) AS eigenvector FROM x{iterations}"
+    )
+
+
+_BFS2_DIST_SQL = f"""
+    WITH RECURSIVE e AS (SELECT a AS src, b AS dst
+                         FROM ({_EDGES_CANON_SQL}) AS t),
+    walk(root, v, d) AS (
+      SELECT p_partkey, p_partkey, 0 FROM part
+      UNION
+      SELECT w.root, e.dst, w.d + 1 FROM walk w JOIN e ON w.v = e.src
+      WHERE w.d < 2
+    ),
+    dist AS (SELECT root, v, min(d) AS d FROM walk GROUP BY root, v)
+"""
 
 
 # ------------------------------------------------------------ the queries
@@ -218,6 +264,26 @@ def _q_lin(spark, sf_dir):
     g = _coorder_graph(spark, sf_dir)
     return lin_centrality(g, max_distance=2).select(
         "id", F.round("lin", 6).alias("lin")
+    )
+
+
+def _q_eigenvector(spark, sf_dir):
+    g = _coorder_graph(spark, sf_dir)
+    ev = eigenvector_centrality(g, iterations=3)
+    return ev.select("id", F.round("eigenvector", 6).alias("eigenvector"))
+
+
+def _q_harmonic(spark, sf_dir):
+    g = _coorder_graph(spark, sf_dir)
+    return harmonic_centrality(g, max_distance=2).select(
+        "id", F.round("harmonic", 6).alias("harmonic")
+    )
+
+
+def _q_average_distance(spark, sf_dir):
+    g = _coorder_graph(spark, sf_dir)
+    return average_distance(g, max_distance=2).select(
+        "id", F.round("average_distance", 6).alias("average_distance")
     )
 
 
@@ -471,6 +537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_laplacian_centrality": _q_laplacian,
         "graph_embeddedness": _q_embeddedness,
         "graph_lin_centrality": _q_lin,
+        "graph_eigenvector_3iter": _q_eigenvector,
+        "graph_harmonic": _q_harmonic,
+        "graph_average_distance": _q_average_distance,
         "graph_concat_bundles": _q_concat_bundles,
         "filter_predicate_language": _q_filter_language,
         "aggregate_to_segmentation": _q_agg_segmentation,
@@ -627,6 +696,23 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN coalesce(agg.sum_d, 0) = 0 THEN 1.0
                          ELSE agg.size * agg.size * 1.0 / agg.sum_d END,
                          6) AS lin
+            FROM part p LEFT JOIN agg ON p.p_partkey = agg.v
+        """,
+        "graph_eigenvector_3iter": _eigenvector_oracle_sql(3),
+        "graph_harmonic": _BFS2_DIST_SQL + """
+            , harm AS (SELECT v, sum(1.0 / d) AS h FROM dist WHERE d > 0
+                       GROUP BY v)
+            SELECT p.p_partkey AS id,
+                   round(coalesce(harm.h, 0.0), 6) AS harmonic
+            FROM part p LEFT JOIN harm ON p.p_partkey = harm.v
+        """,
+        "graph_average_distance": _BFS2_DIST_SQL + """
+            , agg AS (SELECT v, count(*) AS size, sum(d) AS sum_d
+                      FROM dist GROUP BY v)
+            SELECT p.p_partkey AS id,
+                   round(CASE WHEN coalesce(agg.size, 1) <= 1 THEN 0.0
+                         ELSE agg.sum_d * 1.0 / (agg.size - 1) END,
+                         6) AS average_distance
             FROM part p LEFT JOIN agg ON p.p_partkey = agg.v
         """,
         "graph_concat_bundles": """

@@ -46,7 +46,12 @@ from lynxkite_spark.operators.centrality import (
 )
 from lynxkite_spark.operators.clustering import clustering_coefficient, embeddedness
 from lynxkite_spark.operators.kcore import core_decomposition
-from lynxkite_spark.operators.structure import concatenate_bundles
+from lynxkite_spark.operators.aggregate import aggregate_on_neighbors
+from lynxkite_spark.operators.structure import (
+    concatenate_bundles,
+    merge_vertices,
+    segmentation_to_edges,
+)
 from lynxkite_spark.functions.dedup import (
     exact_duplicates,
     minhash_dedup,
@@ -285,6 +290,44 @@ def _q_average_distance(spark, sf_dir):
     return average_distance(g, max_distance=2).select(
         "id", F.round("average_distance", 6).alias("average_distance")
     )
+
+
+def _q_merge_vertices(spark, sf_dir):
+    """Merge parts equal on p_brand (min-id representative), remap the
+    co-order edges through the mapping, return the merged canonical
+    edge set (MergeVertices ∘ InducedEdgeBundle)."""
+    g0 = _coorder_graph(spark, sf_dir)
+    parts = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), "p_brand"
+    )
+    merged, _mapping = merge_vertices(Graph(vertices=parts, edges=g0.edges), "p_brand")
+    return (
+        merged.edges.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+
+
+def _q_aggregate_neighbors(spark, sf_dir):
+    """Average in-neighbor p_size per vertex (AggregateByEdgeBundle)."""
+    g0 = _coorder_graph(spark, sf_dir)
+    parts = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), "p_size"
+    )
+    out = aggregate_on_neighbors(
+        Graph(vertices=parts, edges=g0.edges), "p_size", "avg", direction="in"
+    )
+    return out.select("id", F.round("avg_p_size", 6).alias("avg_p_size"))
+
+
+def _q_set_overlap(spark, sf_dir):
+    """Orders sharing ≥3 parts become connected segments (SetOverlap)."""
+    bt = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("id"), F.col("l_orderkey").alias("segment"))
+        .distinct()
+    )
+    return segmentation_to_edges(bt, min_overlap=3)
 
 
 def _q_concat_bundles(spark, sf_dir):
@@ -540,6 +583,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_eigenvector_3iter": _q_eigenvector,
         "graph_harmonic": _q_harmonic,
         "graph_average_distance": _q_average_distance,
+        "graph_merge_vertices": _q_merge_vertices,
+        "graph_aggregate_neighbors": _q_aggregate_neighbors,
+        "graph_set_overlap": _q_set_overlap,
         "graph_concat_bundles": _q_concat_bundles,
         "filter_predicate_language": _q_filter_language,
         "aggregate_to_segmentation": _q_agg_segmentation,
@@ -697,6 +743,31 @@ def oracle_sql() -> dict[str, str]:
                          ELSE agg.size * agg.size * 1.0 / agg.sum_d END,
                          6) AS lin
             FROM part p LEFT JOIN agg ON p.p_partkey = agg.v
+        """,
+        "graph_merge_vertices": f"""
+            WITH e0 AS ({_EDGES_CANON_SQL}),
+            map AS (SELECT p_partkey AS id,
+                           min(p_partkey) OVER (PARTITION BY p_brand) AS new_id
+                    FROM part)
+            SELECT DISTINCT least(ma.new_id, mb.new_id) AS a,
+                            greatest(ma.new_id, mb.new_id) AS b
+            FROM e0 JOIN map ma ON e0.a = ma.id
+                    JOIN map mb ON e0.b = mb.id
+            WHERE ma.new_id <> mb.new_id
+        """,
+        "graph_aggregate_neighbors": f"""
+            WITH e0 AS ({_EDGES_CANON_SQL})
+            SELECT e0.b AS id, round(avg(p.p_size), 6) AS avg_p_size
+            FROM e0 JOIN part p ON e0.a = p.p_partkey
+            GROUP BY e0.b
+        """,
+        "graph_set_overlap": """
+            WITH bt AS (SELECT DISTINCT l_partkey AS id, l_orderkey AS segment
+                        FROM lineitem)
+            SELECT a.segment AS src, b.segment AS dst, count(*) AS overlap
+            FROM bt a JOIN bt b ON a.id = b.id AND a.segment < b.segment
+            GROUP BY a.segment, b.segment
+            HAVING count(*) >= 3
         """,
         "graph_eigenvector_3iter": _eigenvector_oracle_sql(3),
         "graph_harmonic": _BFS2_DIST_SQL + """

@@ -92,3 +92,40 @@ def test_dictionary_join_is_broadcast(spark):
     edges, _ = derive_repo_edges(corpus)
     plan = edges._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pagerank_join_paths_equivalent(spark):
+    """The broadcast / hybrid / shuffle-hash gather paths are pure
+    execution-strategy choices: identical ranks from all three."""
+    from lynxkite_spark.operators.generators import erdos_renyi
+
+    g = erdos_renyi(spark, n=400, avg_degree=8, seed=7)
+    r_bcast = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(g, iterations=5, tol=None, broadcast_threshold=10**9).collect()
+    }
+    r_shuffle = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(g, iterations=5, tol=None, broadcast_threshold=0).collect()
+    }
+    assert set(r_bcast) == set(r_shuffle)
+    for k in r_bcast:
+        assert r_bcast[k] == pytest.approx(r_shuffle[k], abs=1e-12)
+
+
+def test_shuffle_hash_hint_respected(spark):
+    """The iterative loops hint shuffle_hash on the small state side so
+    the big edge table is never re-sorted per iteration (and AQE must
+    not flip it back to a driver-built broadcast — that serial build is
+    the scaling killer this engine avoids; see session.py)."""
+    big = spark.range(0, 200_000).select(
+        (F.col("id") % 50_000).alias("src"), F.col("id").alias("v")
+    )
+    lookup = spark.range(0, 2_000_000).select(
+        F.col("id").alias("src"), (F.col("id") * 2).alias("x")
+    )
+    j = big.join(lookup.hint("shuffle_hash"), "src")
+    j.count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan

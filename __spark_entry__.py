@@ -46,6 +46,7 @@ from lynxkite_spark.operators.centrality import (
 )
 from lynxkite_spark.operators.clustering import clustering_coefficient, embeddedness
 from lynxkite_spark.operators.kcore import core_decomposition
+from lynxkite_spark.operators.modular import modular_clustering
 from lynxkite_spark.operators.aggregate import aggregate_on_neighbors
 from lynxkite_spark.operators.structure import (
     concatenate_bundles,
@@ -290,6 +291,13 @@ def _q_average_distance(spark, sf_dir):
     return average_distance(g, max_distance=2).select(
         "id", F.round("average_distance", 6).alias("average_distance")
     )
+
+
+def _q_modular_clustering(spark, sf_dir):
+    """Louvain communities of the co-order graph (rows-only check:
+    iterative modularity-gain moves are not SQL-expressible)."""
+    g = _coorder_graph(spark, sf_dir)
+    return modular_clustering(g, max_rounds=6, levels=1)
 
 
 def _q_merge_vertices(spark, sf_dir):
@@ -583,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_eigenvector_3iter": _q_eigenvector,
         "graph_harmonic": _q_harmonic,
         "graph_average_distance": _q_average_distance,
+        "graph_modular_clustering": _q_modular_clustering,
         "graph_merge_vertices": _q_merge_vertices,
         "graph_aggregate_neighbors": _q_aggregate_neighbors,
         "graph_set_overlap": _q_set_overlap,

@@ -15,6 +15,7 @@ from lynxkite_spark.operators.centrality import (
 )
 from lynxkite_spark.operators.coloring import greedy_coloring
 from lynxkite_spark.operators.kcore import core_decomposition
+from lynxkite_spark.operators.modular import modular_clustering
 from lynxkite_spark.operators.sampling import random_walk_sample
 
 __all__ = [
@@ -34,5 +35,6 @@ __all__ = [
     "laplacian_centrality",
     "greedy_coloring",
     "core_decomposition",
+    "modular_clustering",
     "random_walk_sample",
 ]

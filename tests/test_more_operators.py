@@ -110,3 +110,48 @@ def test_random_walk_restarts_trap_free(spark):
     g = graph_from_adjacency(spark, {0: [1], 1: []})
     s = _as_map(random_walk_sample(g, num_walkers=1, max_steps=5, seed=1))
     assert set(s) <= {0, 1} and len(s) >= 1
+
+
+# --------------------------------------------------- modular clustering
+
+
+def test_louvain_two_triangles(spark):
+    """Two triangles joined by one edge: Louvain must find exactly the
+    two triangles as communities."""
+    from lynxkite_spark.operators.modular import modular_clustering
+
+    adj = {0: [1, 2], 1: [2], 3: [4, 5], 4: [5], 2: [3]}
+    g = graph_from_adjacency(spark, adj)
+    labels = _as_map(modular_clustering(g), val="label")
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[3] == labels[4] == labels[5]
+    assert labels[0] != labels[3]
+
+
+def test_louvain_improves_modularity_and_is_partition_invariant(spark):
+    """On a 4-clique-ring the partition found must score high modularity
+    and be identical at any input partitioning."""
+    from lynxkite_spark.operators.clustering import modularity
+    from lynxkite_spark.operators.modular import modular_clustering
+
+    adj = {}
+    for c in range(4):  # 4 cliques of 5, ring-connected
+        base = c * 5
+        for i in range(5):
+            adj.setdefault(base + i, []).extend(
+                base + j for j in range(i + 1, 5)
+            )
+        adj.setdefault(base, []).append(((c + 1) % 4) * 5)
+    g = graph_from_adjacency(spark, adj)
+    bt = modular_clustering(g)
+    labels = _as_map(bt, val="label")
+    # each clique is one community
+    for c in range(4):
+        vals = {labels[c * 5 + i] for i in range(5)}
+        assert len(vals) == 1
+    q = modularity(g, bt.select("id", "label"), "label")
+    assert q > 0.5
+
+    g2 = Graph(vertices=g.vertices.repartition(7), edges=g.edges.repartition(11))
+    labels2 = _as_map(modular_clustering(g2), val="label")
+    assert labels == labels2

@@ -338,6 +338,44 @@ def _q_set_overlap(spark, sf_dir):
     return segmentation_to_edges(bt, min_overlap=3)
 
 
+def _q_sql_triplet_view(spark, sf_dir):
+    """The reference's implicit `edges` triplet view queried via SQL
+    (Project.scala:313-334 semantics through sql.register_graph_views)."""
+    from lynxkite_spark.sql import register_graph_views
+
+    g0 = _coorder_graph(spark, sf_dir)
+    parts = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), "p_brand"
+    )
+    register_graph_views(Graph(vertices=parts, edges=g0.edges), spark, prefix="co_")
+    return spark.sql("""
+        SELECT src_p_brand AS brand, count(*) AS n_edges
+        FROM co_edges GROUP BY src_p_brand
+    """)
+
+
+def _q_attr_histogram(spark, sf_dir):
+    """Equal-width histogram of p_retailprice (AttributeHistogram)."""
+    from lynxkite_spark.operators.aggregate import histogram
+
+    h = histogram(_t(spark, sf_dir, "part"), "p_retailprice", buckets=10)
+    return h.select(
+        "bucket", F.round("lo", 6).alias("lo"), F.round("hi", 6).alias("hi"), "count"
+    )
+
+
+def _q_attr_ranking(spark, sf_dir):
+    """Rank-from-0 by sort key (AddRankingAttribute)."""
+    from lynxkite_spark.operators.attributes import add_ranking
+
+    parts = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), "p_retailprice"
+    )
+    return add_ranking(parts, "rank", "p_retailprice").select(
+        "id", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _q_concat_bundles(spark, sf_dir):
     """Customer→order ∘ order→part = customer→part path counts
     (ConcatenateBundles semantics on real tables)."""
@@ -596,6 +634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_aggregate_neighbors": _q_aggregate_neighbors,
         "graph_set_overlap": _q_set_overlap,
         "graph_concat_bundles": _q_concat_bundles,
+        "sql_triplet_view": _q_sql_triplet_view,
+        "attr_histogram": _q_attr_histogram,
+        "attr_ranking": _q_attr_ranking,
         "filter_predicate_language": _q_filter_language,
         "aggregate_to_segmentation": _q_agg_segmentation,
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -800,6 +841,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS DOUBLE) AS paths
             FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_custkey, l.l_partkey
+        """,
+        "sql_triplet_view": f"""
+            WITH e0 AS ({_EDGES_CANON_SQL})
+            SELECT p.p_brand AS brand, count(*) AS n_edges
+            FROM e0 JOIN part p ON e0.a = p.p_partkey
+            GROUP BY p.p_brand
+        """,
+        "attr_histogram": """
+            WITH bounds AS (SELECT min(p_retailprice) AS lo,
+                                   max(p_retailprice) AS hi FROM part),
+            b AS (SELECT CAST(least(floor((p_retailprice - bounds.lo)
+                                          / ((bounds.hi - bounds.lo) / 10)),
+                                    9) AS INT) AS bucket
+                  FROM part CROSS JOIN bounds
+                  WHERE p_retailprice IS NOT NULL)
+            SELECT b.bucket,
+                   round(bounds.lo + b.bucket * ((bounds.hi - bounds.lo) / 10),
+                         6) AS lo,
+                   round(bounds.lo + (b.bucket + 1) * ((bounds.hi - bounds.lo) / 10),
+                         6) AS hi,
+                   count(*) AS count
+            FROM b CROSS JOIN bounds
+            GROUP BY b.bucket, bounds.lo, bounds.hi
+        """,
+        "attr_ranking": """
+            SELECT p_partkey AS id,
+                   row_number() OVER (ORDER BY p_retailprice, p_partkey) - 1
+                     AS rank
+            FROM part
         """,
         "filter_predicate_language": """
             SELECT p_partkey, p_name, p_size FROM part

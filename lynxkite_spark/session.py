@@ -66,6 +66,13 @@ def get_spark(
         # driver-side step that caps scaling (measured: 3x slowdown at 32
         # cores on the PageRank gather join).
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        # Catalyst's constraint propagation crashes (AttributeMap "key not
+        # found") in UnionBase.rewriteConstraints when a self-union of a
+        # checkpointed relation carries filter constraints — exactly the
+        # shape of the star-contraction CC loop on a localCheckpoint'd
+        # edge table. Our plans carry every predicate explicitly, so the
+        # inference buys nothing; off for robustness.
+        .config("spark.sql.constraintPropagation.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -50,8 +50,10 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .agg(F.min("dst").alias("mn"))
         .select("src", F.least(F.col("mn"), F.col("src")).alias("m"))
     )
+    # hash-build the (vertex-sized) min table so the big edge stream is
+    # never sorted (same discipline as the PageRank gather join)
     return (
-        sym.join(m, "src")
+        sym.join(m.hint("shuffle_hash"), "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .distinct()
@@ -66,7 +68,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).where(F.col("src") != F.col("dst"))
     m = oriented.groupBy("src").agg(F.min("dst").alias("m"))
-    relinked = oriented.join(m, "src").select(
+    relinked = oriented.join(m.hint("shuffle_hash"), "src").select(
         F.col("dst").alias("src"), F.col("m").alias("dst")
     )
     self_link = m.select("src", F.col("m").alias("dst"))
@@ -122,7 +124,7 @@ def connected_components(
         edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
         for it in range(max_iterations):
             nbr_min = (
-                edges.join(labels, edges.src == labels.id)
+                edges.join(labels.hint("shuffle_hash"), edges.src == labels.id)
                 .groupBy("dst")
                 .agg(F.min("component").alias("nbr_min"))
             )

@@ -51,7 +51,10 @@ def core_decomposition(graph: Graph, max_iterations: int = 100) -> DataFrame:
         # gather neighbor estimates onto dst, then per-vertex h-index:
         # sorted desc, h = max(min(est_i, i))
         msgs = sym.join(
-            est.select(F.col("id").alias("src"), F.col("est").alias("n_est")), "src"
+            est.select(F.col("id").alias("src"), F.col("est").alias("n_est")).hint(
+                "shuffle_hash"
+            ),
+            "src",
         ).select(F.col("dst").alias("id"), "n_est")
         win = W.partitionBy("id").orderBy(F.col("n_est").desc())
         h = (

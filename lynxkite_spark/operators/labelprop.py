@@ -51,8 +51,10 @@ def label_propagation(
     for it in range(max_iterations):
         # gather neighbor labels onto dst; per-(dst,label) weight sums are
         # map-side combinable, so hub vertices don't skew the shuffle
+        # hash-build the vertex-sized label table: the big edge stream is
+        # never sorted per round (PageRank gather-join discipline)
         votes = (
-            sym.join(labels, sym.src == labels.id)
+            sym.join(labels.hint("shuffle_hash"), sym.src == labels.id)
             .groupBy("dst", "label")
             .agg(F.sum("weight").alias("w"))
         )

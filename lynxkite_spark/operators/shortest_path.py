@@ -36,7 +36,7 @@ def shortest_path(
     ).first()
     for it in range(max_iterations):
         relaxed = (
-            e.join(dist, e.src == dist.id)
+            e.join(dist.hint("shuffle_hash"), e.src == dist.id)
             .select(F.col("dst").alias("id"), (F.col("distance") + F.col("weight")).alias("distance"))
         )
         new_dist = (

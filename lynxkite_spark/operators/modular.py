@@ -62,17 +62,28 @@ def _one_level(
     labels = k_tab.select("id", F.col("id").alias("label"), "k").localCheckpoint(
         eager=True
     )
+    # Self-loop rows appear after contraction (a community's internal
+    # weight, both orientations). They belong in k and Σtot — loop mass
+    # moves with the vertex — but NOT in k_{v,c}: the loop's dst label is
+    # the vertex's own community, so counting it would inflate the stay
+    # side only and freeze contracted vertices at levels >= 2.
+    sym_noloop = sym.where(F.col("src") != F.col("dst"))
     for rnd in range(max_rounds):
         # community totals Σtot_c
         tot = labels.groupBy("label").agg(F.sum("k").alias("tot"))
-        # k_{v,c}: weight from v to each neighboring community
+        # k_{v,c}: weight from v to each neighboring community (loop-free)
         nbr_lab = labels.select(F.col("id").alias("dst"), F.col("label").alias("c"))
         kvc = (
-            sym.join(nbr_lab.hint("shuffle_hash"), "dst")
+            sym_noloop.join(nbr_lab.hint("shuffle_hash"), "dst")
             .groupBy(F.col("src").alias("id"), "c")
             .agg(F.sum("weight").alias("kvc"))
         )
         cur = labels.select("id", F.col("label").alias("cur"), "k")
+        # gain(v→c) for c != cur: k_{v,c} − k_v·Σtot_c/(2m); the stay side
+        # is computed explicitly below (Σtot_cur already contains k_v, so
+        # it is subtracted there) — never coalesced to 0, which would
+        # overstate staying whenever v has no neighbor in its own
+        # community (true stay gain is then −k·(Σtot_cur−k)/2m < 0).
         cand = (
             kvc.join(cur.hint("shuffle_hash"), "id")
             .join(tot.select(F.col("label").alias("c"), "tot"), "c")
@@ -80,27 +91,47 @@ def _one_level(
                 "id",
                 "c",
                 "cur",
-                (
-                    F.col("kvc")
-                    - F.col("k")
-                    * (F.col("tot") - F.when(F.col("c") == F.col("cur"), F.col("k")).otherwise(0.0))
-                    / F.lit(two_m)
-                ).alias("gain"),
+                "k",
+                "kvc",
+                (F.col("kvc") - F.col("k") * F.col("tot") / F.lit(two_m)).alias(
+                    "gain"
+                ),
             )
         )
-        best = cand.groupBy("id").agg(
-            F.max_by("c", F.struct(F.col("gain"), -F.col("c"))).alias("best_c"),
-            F.max("gain").alias("best_gain"),
-            F.max(F.when(F.col("c") == F.col("cur"), F.col("gain"))).alias("cur_gain"),
-            F.first("cur").alias("cur"),
+        best = (
+            cand.where(F.col("c") != F.col("cur"))
+            .groupBy("id")
+            .agg(
+                F.max_by("c", F.struct(F.col("gain"), -F.col("c"))).alias("best_c"),
+                F.max("gain").alias("best_gain"),
+                F.first("cur").alias("cur"),
+                F.first("k").alias("k"),
+            )
+        )
+        kvc_cur = cand.where(F.col("c") == F.col("cur")).select(
+            "id", F.col("kvc").alias("kvc_cur")
+        )
+        tot_cur = tot.select(F.col("label").alias("cur"), F.col("tot").alias("tot_cur"))
+        scored = (
+            best.join(kvc_cur.hint("shuffle_hash"), "id", "left")
+            .join(tot_cur, "cur")
+            .select(
+                "id",
+                "best_c",
+                "best_gain",
+                "cur",
+                (
+                    F.coalesce(F.col("kvc_cur"), F.lit(0.0))
+                    - F.col("k") * (F.col("tot_cur") - F.col("k")) / F.lit(two_m)
+                ).alias("stay_gain"),
+            )
         )
         # move only on strict improvement, half-synchronously (hash parity);
         # convergence is judged on the PRE-parity wanted set — a round
         # where every beneficial move happens to be parity-blocked is not
         # converged (the parity flips next round)
-        wanted = best.where(
-            (F.col("best_c") != F.col("cur"))
-            & (F.col("best_gain") > F.coalesce(F.col("cur_gain"), F.lit(0.0)) + 1e-12)
+        wanted = scored.where(
+            F.col("best_gain") > F.col("stay_gain") + 1e-12
         ).select("id", F.col("best_c").alias("new_label"))
         wanted = wanted.localCheckpoint(eager=True)
         n_wanted = wanted.limit(1).count()

@@ -12,7 +12,11 @@ Reference: /root/reference/app/.../graph_operations/PageRank.scala:43-88
      (:73, default 5 / damping 0.85,
      GraphComputationOperations.scala:386-389); we add convergence to
      ``tol`` (max |Δrank| < tol), which subsumes fixed N — pass
-     ``iterations=N, tol=None`` for bit-parity with the reference.
+     ``iterations=N, tol=None`` for numerical equivalence with the
+     reference within float reduction-order tolerance (the dangling-mass
+     total is an algebraic identity over the rank table, so summation
+     order differs; allclose at 1e-6 — the north rule's contract — holds,
+     bit-for-bit equality does not).
 
 Direction handling follows the frontend's Direction wrapper
 (Operations.scala:413-448): "outgoing edges" uses edges as-is,

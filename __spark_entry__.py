@@ -7,10 +7,12 @@ derived from sf0.001 lineitem, top-10 with part names.
 (SURVEY.md §2 + training-data pipeline ops); each callable takes
 ``(spark, sf_dir)`` and returns a DataFrame.
 
-``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents. Non-SQL-
-expressible ops (LPA — iterative argmax; minhash/simhash — xxhash64 has
-no DuckDB equivalent; ANN-LSH) are intentionally oracle-less: the driver
-records the weaker rows-only check for those.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents. Iterative ops
+are unrolled as chained CTEs (PageRank, LPA, k-core, Katz, eigenvector);
+hash-based ops (minhash, simhash) run on an engine-portable md5-derived
+hash so DuckDB replays them bit-for-bit; ANN-LSH inlines the
+deterministic hyperplanes as literals. Only Louvain remains rows-only
+(half-synchronous hash-parity moves have no SQL form).
 
 Float parity: every float column is ``round``-ed identically on both
 sides (6dp for unit-scale values, 2dp for money sums) so cross-engine
@@ -165,6 +167,210 @@ def _eigenvector_oracle_sql(iterations: int = 3) -> str:
     )
 
 
+def _lpa_oracle_sql(rounds: int = 10) -> str:
+    """Unrolled synchronous label propagation (labelprop.py semantics):
+    per round every vertex takes the neighbor label with the largest
+    vote weight (ties → smallest label), keeping its own when it has no
+    neighbors. A converged round is a fixed point, so unrolling exactly
+    ``rounds`` rounds equals Spark's early-stopped loop. The edge CTE is
+    MATERIALIZED: inlined, every unrolled round would re-scan (and
+    re-open) the parquet source."""
+    ctes = [
+        f"e AS MATERIALIZED ({_EDGES_SYM_SQL})",
+        "v AS (SELECT p_partkey AS id FROM part)",
+        "l0 AS (SELECT id, id AS label FROM v)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(
+            f"vt{k} AS (SELECT e.dst AS id, l.label, count(*) AS w "
+            f"FROM e JOIN l{p} l ON e.src = l.id GROUP BY e.dst, l.label)"
+        )
+        ctes.append(
+            f"b{k} AS (SELECT id, label FROM ("
+            f"SELECT id, label, row_number() OVER (PARTITION BY id "
+            f"ORDER BY w DESC, label ASC) AS rn FROM vt{k}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{k} AS MATERIALIZED (SELECT l.id, coalesce(b.label, l.label) AS label "
+            f"FROM l{p} l LEFT JOIN b{k} b ON l.id = b.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{rounds}"
+
+
+def _kcore_oracle_sql(rounds: int) -> str:
+    """Unrolled Montresor h-index iteration (kcore.py semantics):
+    est₀ = degree; per round est ← min(est, h-index of neighbor
+    estimates). Estimates are monotone non-increasing, so a converged
+    Spark loop equals the fixed unroll for any rounds ≥ convergence.
+    MATERIALIZED edge CTE — see _lpa_oracle_sql."""
+    ctes = [
+        f"e AS MATERIALIZED ({_EDGES_SYM_SQL})",
+        "deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY src)",
+        "est0 AS (SELECT p.p_partkey AS id, coalesce(deg.d, 0) AS est "
+        "FROM part p LEFT JOIN deg ON p.p_partkey = deg.id)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(
+            f"m{k} AS (SELECT e.dst AS id, l.est AS n_est "
+            f"FROM e JOIN est{p} l ON e.src = l.id)"
+        )
+        ctes.append(
+            f"h{k} AS (SELECT id, max(least(n_est, rk)) AS h FROM ("
+            f"SELECT id, n_est, row_number() OVER (PARTITION BY id "
+            f"ORDER BY n_est DESC) AS rk FROM m{k}) GROUP BY id)"
+        )
+        ctes.append(
+            f"est{k} AS MATERIALIZED (SELECT o.id, least(o.est, coalesce(h{k}.h, 0)) AS est "
+            f"FROM est{p} o LEFT JOIN h{k} ON o.id = h{k}.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, est AS core FROM est{rounds}"
+
+
+def _katz_oracle_sql(iterations: int = 3, alpha: float = 0.05, beta: float = 1.0) -> str:
+    """Unrolled Katz power iteration x' = α·Aᵀx + β (centrality.py)."""
+    ctes = [
+        f"e AS (SELECT a AS src, b AS dst FROM ({_EDGES_CANON_SQL}) AS t)",
+        "v AS (SELECT p_partkey AS id FROM part)",
+        f"x0 AS (SELECT id, {beta!r}::DOUBLE AS x FROM v)",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        ctes.append(
+            f"a{k} AS (SELECT e.dst AS id, sum(x{p}.x) AS ax "
+            f"FROM e JOIN x{p} ON e.src = x{p}.id GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"x{k} AS (SELECT v.id, {alpha!r} * coalesce(a{k}.ax, 0) + {beta!r} AS x "
+            f"FROM v LEFT JOIN a{k} ON v.id = a{k}.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(x, 6) AS katz FROM x{iterations}"
+    )
+
+
+def _phash_sql(expr: str, seed: int) -> str:
+    """DuckDB twin of dedup.portable_hash64 (verified bit-identical)."""
+    return f"CAST(('0x' || substr(md5({expr} || '|{seed}'), 1, 15)) AS BIGINT)"
+
+
+# word shingles exactly as dedup.word_shingles: distinct k-grams when
+# the doc has >= k tokens, else the whole token list as one shingle
+def _shingle_sql(k: int) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+      toks AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, {gram} AS s
+          FROM toks, UNNEST(generate_series(1, len(t) - {k - 1})) AS g(i)
+          WHERE len(t) >= {k}
+          UNION ALL
+          SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < {k}
+        )
+      )"""
+
+
+def _minhash_oracle_sql(
+    num_hashes: int = 32, bands: int = 8, threshold: float = 0.5, shingle_k: int = 3
+) -> str:
+    """Replays the whole minhash_dedup pipeline (portable hash):
+    shingles → per-doc min-hashes → band buckets → candidate pairs →
+    exact shingle-set Jaccard on candidates."""
+    rpb = num_hashes // bands
+    mins = ", ".join(
+        f"min({_phash_sql('s', i)}) AS h{i}" for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(f"h{b * rpb + r}::VARCHAR" for r in range(rpb))
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH {_shingle_sql(shingle_k)},
+        sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+        banded AS ({band_rows}),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM banded x JOIN banded y
+            ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+          JOIN cand ON cand.a = x.doc_id AND cand.b = y.doc_id
+          GROUP BY x.doc_id, y.doc_id
+        )
+        SELECT a, b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON inter.a = sa.doc_id
+        JOIN sizes sb ON inter.b = sb.doc_id
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(bits: int = 60, shingle_k: int = 2) -> str:
+    """Replays simhash (portable hash): per-bit ±1 sums over shingle
+    feature hashes, sign bits assembled into one bigint."""
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h & (1::BIGINT << {i})) <> 0 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+        WITH {_shingle_sql(shingle_k)},
+        hashed AS (SELECT doc_id, {_phash_sql('s', 0)} AS h FROM sh),
+        agg AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+        SELECT doc_id, {sig} AS simhash FROM agg
+    """
+
+
+def _ann_oracle_sql(n_planes: int = 6, dim: int = 64, seed: int = 42, k: int = 3) -> str:
+    """Replays ann_lsh_topk: sign-pattern bucket from the same
+    deterministic hyperplanes (inlined as literals), exact cosine within
+    the shared bucket, top-k per query. All float expressions are the
+    same left-associated chains Spark's fold produces, so the doubles
+    are bit-identical."""
+    from lynxkite_spark.functions.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes, seed)
+
+    def dot_plane(p: list[float]) -> str:
+        return "0.0 + " + " + ".join(f"v[{i + 1}]*({p[i]!r})" for i in range(dim))
+
+    bucket = " + ".join(
+        f"(CASE WHEN ({dot_plane(planes[p])}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    sq = "0.0 + " + " + ".join(f"v[{i + 1}]*v[{i + 1}]" for i in range(dim))
+    pair_dot = "0.0 + " + " + ".join(f"q.v[{i + 1}]*c.v[{i + 1}]" for i in range(dim))
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        bb AS (
+          SELECT vec_id, v, ({bucket}) AS bucket, sqrt({sq}) AS nrm FROM b
+        ),
+        q AS (SELECT * FROM bb WHERE vec_id < 10),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ({pair_dot}) / (q.nrm * c.nrm) AS sim
+          FROM q JOIN bb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rk
+          FROM scored
+        ) WHERE rk <= {k}
+    """
+
+
 _BFS2_DIST_SQL = f"""
     WITH RECURSIVE e AS (SELECT a AS src, b AS dst
                          FROM ({_EDGES_CANON_SQL}) AS t),
@@ -243,8 +449,11 @@ def _q_shortest_path(spark, sf_dir):
 
 
 def _q_kcore(spark, sf_dir):
+    # 24 rounds: measured convergence is 10 (sf0.001) / 20 (sf0.01);
+    # the oracle unrolls the same 24, and a converged loop is a fixed
+    # point, so the cap changes nothing but bounds the oracle size
     g = _coorder_graph(spark, sf_dir)
-    return core_decomposition(g)
+    return core_decomposition(g, max_iterations=24)
 
 
 def _q_sfigality(spark, sf_dir):
@@ -277,6 +486,14 @@ def _q_eigenvector(spark, sf_dir):
     g = _coorder_graph(spark, sf_dir)
     ev = eigenvector_centrality(g, iterations=3)
     return ev.select("id", F.round("eigenvector", 6).alias("eigenvector"))
+
+
+def _q_katz(spark, sf_dir):
+    from lynxkite_spark.operators.centrality import katz_centrality
+
+    g = _coorder_graph(spark, sf_dir)
+    kz = katz_centrality(g, alpha=0.05, beta=1.0, iterations=3)
+    return kz.select("id", F.round("katz", 6).alias("katz"))
 
 
 def _q_harmonic(spark, sf_dir):
@@ -571,14 +788,16 @@ def _q_docs_ngram_jaccard(spark, sf_dir):
 
 
 def _q_docs_minhash(spark, sf_dir):
+    # portable (md5-derived) hash so the DuckDB oracle replays the
+    # pipeline bit-for-bit; production default stays xxhash64
     d = _t(spark, sf_dir, "documents")
-    return minhash_dedup(d, num_hashes=32, bands=8, threshold=0.5).select(
-        "a", "b", F.round("jaccard", 6).alias("jaccard")
-    )
+    return minhash_dedup(
+        d, num_hashes=32, bands=8, threshold=0.5, hash_fn="portable"
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def _q_docs_simhash(spark, sf_dir):
-    return simhash(_t(spark, sf_dir, "documents"))
+    return simhash(_t(spark, sf_dir, "documents"), bits=60, hash_fn="portable")
 
 
 def _q_emb_topk(spark, sf_dir):
@@ -600,6 +819,21 @@ def _q_emb_ann(spark, sf_dir):
     q = e.where(F.col("vec_id") < 10)
     return ann_lsh_topk(e, q, k=3, n_planes=6).select(
         "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+
+
+def _q_emb_elementwise_avg(spark, sf_dir):
+    """Aggregator-catalog tail: elementwise_avg over the embedding
+    vectors per label (Elementwise aggregators, Aggregate.scala:395-404)."""
+    from lynxkite_spark.operators.aggregate import AGGREGATORS
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("long").alias("label"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    agg = AGGREGATORS["elementwise_avg"](F.col("v"), F.lit(1.0)).alias("avg_vec")
+    return e.groupBy("label").agg(agg).select(
+        "label", F.transform("avg_vec", lambda x: F.round(x, 6)).alias("avg_vec")
     )
 
 
@@ -627,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_embeddedness": _q_embeddedness,
         "graph_lin_centrality": _q_lin,
         "graph_eigenvector_3iter": _q_eigenvector,
+        "graph_katz_3iter": _q_katz,
         "graph_harmonic": _q_harmonic,
         "graph_average_distance": _q_average_distance,
         "graph_modular_clustering": _q_modular_clustering,
@@ -657,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_cosine_topk": _q_emb_topk,
         "embeddings_ann_lsh": _q_emb_ann,
         "embeddings_label_stats": _q_emb_label_stats,
+        "embeddings_elementwise_avg": _q_emb_elementwise_avg,
     }
 
 
@@ -730,9 +966,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, CAST(min(d) AS DOUBLE) AS distance FROM walk GROUP BY id
         """,
-        # graph_kcore: intentionally oracle-less — iterative h-index
-        # peeling (Montresor et al.) is not expressible in one SQL query;
-        # the driver records the rows-only check.
+        "graph_label_propagation": _lpa_oracle_sql(10),
+        "graph_kcore": _kcore_oracle_sql(24),
+        "graph_katz_3iter": _katz_oracle_sql(3, 0.05, 1.0),
+        "docs_minhash_dedup": _minhash_oracle_sql(32, 8, 0.5, 3),
+        "docs_simhash": _simhash_oracle_sql(60, 2),
+        "embeddings_ann_lsh": _ann_oracle_sql(6, 64, 42, 3),
         "graph_sfigality": f"""
             WITH e0 AS ({_EDGES_CANON_SQL}),
             sym AS (SELECT a AS src, b AS dst FROM e0
@@ -1009,6 +1248,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
                    round(avg(embedding[1]::DOUBLE), 6) AS avg_dim0
             FROM embeddings GROUP BY label
+        """,
+        "embeddings_elementwise_avg": """
+            WITH x AS (
+              SELECT label, i, avg(v) AS m FROM (
+                SELECT label,
+                       UNNEST(embedding::DOUBLE[]) AS v,
+                       UNNEST(generate_series(1, len(embedding))) AS i
+                FROM embeddings
+              ) GROUP BY label, i
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   list(round(m, 6) ORDER BY i) AS avg_vec
+            FROM x GROUP BY label
         """,
     }
 

@@ -24,15 +24,49 @@ def normalized(text: Column) -> Column:
     return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
 
 
+def portable_hash64(col: Column, seed: int = 0) -> Column:
+    """Engine-portable 60-bit hash: the first 15 hex digits of
+    md5(value || '|' || seed), parsed base-16. Spark computes it as
+    conv(substr(md5(..), 1, 15), 16, 10); DuckDB as
+    ('0x' || substr(md5(..), 1, 15))::BIGINT — verified identical.
+    Used by the oracle-checked gate paths so the DuckDB oracle can
+    replay the exact same minhash/simhash pipeline; ``xxhash64`` stays
+    the fast default everywhere else (one JVM intrinsic vs an md5)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(f"|{seed}"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def portable_hash64_sql(expr: str, seed: int = 0) -> str:
+    """The DuckDB twin of :func:`portable_hash64` (oracle generation)."""
+    return f"CAST(('0x' || substr(md5({expr} || '|{seed}'), 1, 15)) AS BIGINT)"
+
+
+def _hash64(col: Column, seed: int, hash_fn: str) -> Column:
+    if hash_fn == "portable":
+        return portable_hash64(col, seed)
+    return F.xxhash64(col, F.lit(seed))
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: group identical normalized texts; keeper = min id.
-    Returns DataFrame[<id>, keeper, is_duplicate]."""
-    keyed = df.select(F.col(id_col), normalized(F.col(text_col)).alias("_k"))
-    keeper = F.min(id_col).over(W.partitionBy("_k"))
-    return keyed.select(
+    Returns DataFrame[<id>, keeper, is_duplicate].
+
+    Scale shape: the shuffle key is sha2-256 of the normalized text (32
+    bytes), never the text itself — at corpus scale shuffling full
+    documents as grouping keys would move the corpus through the
+    exchange twice. min() partial-aggregates map-side; the join back is
+    on the same fixed-width key."""
+    keyed = df.select(
+        F.col(id_col), F.sha2(normalized(F.col(text_col)), 256).alias("_k")
+    )
+    keepers = keyed.groupBy("_k").agg(F.min(id_col).alias("keeper"))
+    return keyed.join(keepers, "_k").select(
         id_col,
-        keeper.alias("keeper"),
-        (F.col(id_col) != keeper).alias("is_duplicate"),
+        "keeper",
+        (F.col(id_col) != F.col("keeper")).alias("is_duplicate"),
     )
 
 
@@ -54,15 +88,16 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: h_i = min over shingles of
-    xxhash64(shingle, i). Computed columnar: explode shingles once,
+    hash(shingle, i). Computed columnar: explode shingles once,
     aggregate all num_hashes minima in one groupBy pass.
     Returns DataFrame[<id>, sig: array<bigint>]."""
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh")
     )
-    mins = [F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    mins = [F.min(_hash64(F.col("sh"), i, hash_fn)).alias(f"h{i}") for i in range(num_hashes)]
     agg = sh.groupBy(id_col).agg(*mins)
     return agg.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
@@ -72,27 +107,35 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Band the signatures and self-join per (band, band-hash) bucket —
     the classic LSH candidate generation: only same-bucket docs meet.
-    Returns distinct candidate pairs DataFrame[a, b] with a < b."""
+    Returns distinct candidate pairs DataFrame[a, b] with a < b.
+
+    With ``hash_fn="portable"`` the bucket key is the concatenated band
+    values themselves (equality of the concat string == equality of the
+    band) so the DuckDB oracle can mirror it; the default compresses the
+    key with xxhash64 for a fixed-width shuffle key."""
+
+    def band_key(b: int) -> Column:
+        concat = F.concat_ws(
+            ",",
+            *[
+                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        if hash_fn == "portable":
+            return concat
+        return F.xxhash64(concat).cast("string")  # one column type for both paths
+
     banded = signatures.select(
         F.col(id_col),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -116,12 +159,35 @@ def minhash_dedup(
     bands: int = 16,
     threshold: float = 0.7,
     shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
+    verify: str = "exact",
 ) -> DataFrame:
-    """Full near-dup pipeline: signatures → LSH candidates → exact Jaccard
-    verify on shingle sets → pairs with jaccard ≥ threshold.
-    Returns DataFrame[a, b, jaccard]."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    cand = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
+    """Full near-dup pipeline: signatures → LSH candidates → Jaccard
+    verify → pairs with jaccard ≥ threshold.
+    Returns DataFrame[a, b, jaccard].
+
+    ``verify="exact"`` scores candidates with the true shingle-set
+    Jaccard (the shingle table is semi-joined down to candidate docs
+    first — LSH pruning reaches the expensive pairwise join).
+    ``verify="estimate"`` scores them from minhash signature agreement
+    (fraction of equal components, an unbiased Jaccard estimator) — no
+    second pass over the texts at all, the cheapest 100 TB shape."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, hash_fn)
+    if verify == "estimate":
+        sigs = sigs.persist()
+    cand = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands, hash_fn)
+    if verify == "estimate":
+        est = F.aggregate(
+            F.zip_with("sa", "sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ) / F.lit(float(num_hashes))
+        return (
+            cand.join(sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sa")), "a")
+            .join(sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sb")), "b")
+            .select("a", "b", est.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+        )
     return ngram_jaccard_pairs(df, text_col, id_col, threshold, shingle_k, candidates=cand)
 
 
@@ -142,6 +208,18 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
     ).distinct()
+    if candidates is not None:
+        # Prune BEFORE the pairwise join: only docs that appear in some
+        # candidate pair keep their shingles. Without this, one popular
+        # shingle shared by 1M docs creates ~10^12 join rows no matter
+        # what LSH found — the pruning must reach the quadratic step,
+        # not filter its output.
+        cand_ids = (
+            candidates.select(F.col("a").alias("_id"))
+            .unionByName(candidates.select(F.col("b").alias("_id")))
+            .distinct()
+        )
+        sh = sh.join(cand_ids, "_id", "left_semi")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sh.select(F.col("_id").alias("a"), "sh")
@@ -151,6 +229,8 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     if candidates is not None:
+        # restrict to the actual candidate PAIRS (two pruned docs may
+        # co-occur in a shingle without ever sharing an LSH bucket)
         inter = inter.join(candidates, ["a", "b"], "left_semi")
     scored = (
         inter.join(sizes.select(F.col("_id").alias("a"), F.col("n").alias("na")), "a")
@@ -170,13 +250,17 @@ def simhash(
     id_col: str = "doc_id",
     bits: int = 64,
     shingle_k: int = 2,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash: per bit, sign of Σ over features of (±1 by feature-hash
     bit). Columnar: explode shingles, per-bit conditional sums in one
-    aggregation. Returns DataFrame[<id>, simhash: bigint]."""
+    aggregation. Returns DataFrame[<id>, simhash: bigint].
+
+    ``hash_fn="portable"`` yields a 60-bit feature hash (bits 60+ of the
+    signature are then always 0) — use bits=60 with it."""
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh")
-    ).withColumn("h", F.xxhash64("sh"))
+    ).withColumn("h", _hash64(F.col("sh"), 0, hash_fn))
     one = F.lit(1).cast("long")
     bit_sums = [
         F.sum(

@@ -16,6 +16,46 @@ from pyspark.sql import functions as F
 
 from lynxkite_spark.graph import Graph
 
+def _elementwise(value: Column, combine) -> Column:
+    """Fold collected vectors elementwise (Elementwise* aggregators,
+    Aggregate.scala:395-404). Scale note: this collects the group's
+    vectors like the reference's ItemAggregator does; for hub-degree
+    groups prefer posexplode + groupBy(id, pos) (same result, no
+    per-group materialization)."""
+    lst = F.collect_list(value)
+    zero = F.transform(F.element_at(lst, 1), lambda x: x)  # first vector
+    rest = F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0)))
+    return F.aggregate(rest, zero, lambda acc, v: F.zip_with(acc, v, combine))
+
+
+def _elementwise_avg(value: Column) -> Column:
+    lst = F.collect_list(value)
+    s = _elementwise(value, lambda a, b: a + b)
+    return F.transform(s, lambda x: x / F.size(lst))
+
+
+def _majority(value: Column, fraction: float) -> Column:
+    """Majority(frac), Aggregate.scala:487-498: the mode, or "" when the
+    mode covers < fraction of the values. Deterministic tie-break:
+    smallest value wins (the reference's maxBy over a Scala map is
+    tie-unstable; a partition-dependent result is unacceptable here).
+    Collects the group's values (the reference's LocalAggregator does
+    the same); fine for neighborhood-sized groups."""
+    lst = F.sort_array(F.collect_list(value.cast("string")))
+    dist = F.array_distinct(lst)  # ascending: first max-count wins ties
+    counts = F.transform(
+        dist, lambda d: F.struct(F.size(F.filter(lst, lambda x: x == d)).alias("c"), d.alias("v"))
+    )
+    best = F.aggregate(
+        counts,
+        F.struct(F.lit(-1).alias("c"), F.lit("").alias("v")),
+        lambda acc, x: F.when(x["c"] > acc["c"], x).otherwise(acc),
+    )
+    return F.when(best["c"] >= F.lit(fraction) * F.size(lst), best["v"]).otherwise(
+        F.lit("")
+    )
+
+
 # aggregator catalog: name -> fn(value_col, weight_col) -> Column
 # (reference names, Aggregate.scala:309-564)
 AGGREGATORS: dict[str, callable] = {
@@ -36,7 +76,21 @@ AGGREGATORS: dict[str, callable] = {
     "by_max_weight": lambda v, w: F.max_by(v, w),
     "by_min_weight": lambda v, w: F.min_by(v, w),
     "sum_of_weights": lambda v, w: F.sum(w),
+    # catalog tail (Aggregate.scala:395-498)
+    "majority_50": lambda v, w: _majority(v, 0.5),
+    "majority_100": lambda v, w: _majority(v, 1.0),
+    "concatenate": lambda v, w: F.flatten(F.collect_list(v)),
+    "elementwise_sum": lambda v, w: _elementwise(v, lambda a, b: a + b),
+    "elementwise_min": lambda v, w: _elementwise(v, lambda a, b: F.least(a, b)),
+    "elementwise_max": lambda v, w: _elementwise(v, lambda a, b: F.greatest(a, b)),
+    "elementwise_avg": lambda v, w: _elementwise_avg(v),
 }
+
+
+def majority(fraction: float):
+    """Parametric Majority(frac) aggregator (Aggregate.scala:487-498);
+    pass the returned callable wherever an AGGREGATORS entry fits."""
+    return lambda v, w: _majority(v, fraction)
 
 
 def _agg_expr(aggregator: str, value: Column, weight: Column, alias: str) -> Column:

@@ -26,12 +26,44 @@ def add_random(df: DataFrame, name: str, seed: int, dist: str = "uniform") -> Da
     return df.withColumn(name, gen)
 
 
-def add_ranking(df: DataFrame, name: str, key: str, ascending: bool = True) -> DataFrame:
+def add_ranking(
+    df: DataFrame, name: str, key: str, ascending: bool = True, id_col: str = "id"
+) -> DataFrame:
     """AddRankingAttribute.scala — rank starting at 0 by a sort key.
-    NOTE: a global row_number is a single-reducer sort at 100 TB; prefer
-    rank-by-zone or top-k when a total order isn't truly needed."""
-    order = F.col(key).asc() if ascending else F.col(key).desc()
-    return df.withColumn(name, F.row_number().over(W.orderBy(order, F.col("id"))) - 1)
+
+    Scale shape: NOT a global window (that is one reducer sorting
+    everything). Rows are range-partitioned on (key, id) — a total
+    order, so equal keys can't straddle a rank boundary ambiguously —
+    ranked per partition, then shifted by the cumulative count of the
+    preceding partitions (one tiny driver-side prefix sum over
+    partition counts). Every partition sorts in parallel; the output is
+    identical to the global row_number for any partitioning."""
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    order = [
+        F.col(key).asc() if ascending else F.col(key).desc(),
+        F.col(id_col).asc(),
+    ]
+    parted = df.repartitionByRange(n_part, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    parted = parted.localCheckpoint(eager=True)  # pin partitioning: _pid must
+    # agree between the counts pass and the rank pass
+    counts = {
+        r["_pid"]: r["n"]
+        for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    local = F.row_number().over(W.partitionBy("_pid").orderBy(*order)) - 1
+    return (
+        parted.join(F.broadcast(off_df), "_pid", "left")
+        .withColumn(name, (local + F.coalesce("_off", F.lit(0))).cast("int"))
+        .drop("_pid", "_off")
+    )
 
 
 def fallback(df: DataFrame, name: str, primary: str, default: str) -> DataFrame:

@@ -12,10 +12,13 @@ estimates are monotonically non-increasing and converge to the exact
 core numbers; each round is one gather (edges ⋈ estimates) plus one
 per-vertex h-index, i.e. the same shuffle shape as a PageRank step.
 
-The h-index is computed with a window over ``dst`` — at 100 TB scale a
-hub vertex makes that window partition large, but the state per vertex
-is one long, and AQE skew handling plus the 40k-rows/key salting in
-plans/skew.py apply as for every other gather in this engine.
+The h-index is computed WITHOUT a raw-neighborhood window: neighbor
+estimates are first capped at the vertex's own estimate (provably
+equivalent under the subsequent least(est, h)) and histogrammed with a
+map-side-combinable groupBy — a hub's million messages collapse to at
+most #distinct-capped-values rows before any sort. The per-vertex
+h = max over present values t of min(t, #neighbors with capped value
+≥ t) (the classic h-index identity) runs on that small histogram.
 """
 
 from __future__ import annotations
@@ -26,6 +29,31 @@ from pyspark.sql import Window as W
 from pyspark.storagelevel import StorageLevel
 
 from lynxkite_spark.graph import Graph
+
+
+def h_index_per_vertex(msgs: DataFrame, est: DataFrame) -> DataFrame:
+    """h-index of each vertex's gathered neighbor estimates,
+    window-free on the raw neighborhood: msgs[id, n_est] → h[id, h].
+
+    Neighbor estimates are first capped at the receiving vertex's own
+    estimate (equivalent under the caller's least(est, h), and it bounds
+    the per-vertex value domain), then histogrammed with a map-side-
+    combinable groupBy. The only window runs over that small histogram:
+    h = max over present values t of min(t, #neighbors ≥ t)."""
+    capped = msgs.join(
+        est.select("id", F.col("est").alias("_cap")).hint("shuffle_hash"), "id"
+    ).select("id", F.least(F.col("n_est"), F.col("_cap")).alias("t"))
+    hist = capped.groupBy("id", "t").agg(F.count(F.lit(1)).alias("c"))
+    win = (
+        W.partitionBy("id")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        hist.withColumn("cum", F.sum("c").over(win))
+        .groupBy("id")
+        .agg(F.max(F.least(F.col("t"), F.col("cum"))).alias("h"))
+    )
 
 
 def core_decomposition(graph: Graph, max_iterations: int = 100) -> DataFrame:
@@ -56,12 +84,7 @@ def core_decomposition(graph: Graph, max_iterations: int = 100) -> DataFrame:
             ),
             "src",
         ).select(F.col("dst").alias("id"), "n_est")
-        win = W.partitionBy("id").orderBy(F.col("n_est").desc())
-        h = (
-            msgs.withColumn("rk", F.row_number().over(win))
-            .groupBy("id")
-            .agg(F.max(F.least(F.col("n_est"), F.col("rk"))).alias("h"))
-        )
+        h = h_index_per_vertex(msgs, est)
         new_est = (
             est.join(h, "id", "left")
             .select(

@@ -10,8 +10,6 @@ geodistance, hash (salted SHA-256), most_common, string_intersect.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,31 +31,30 @@ def register_graph_views(
 
 
 def register_udfs(spark: SparkSession) -> None:
-    """The reference's session UDFs (UDF.scala:50-55). ``hash`` and
-    ``most_common`` need no registration — they are builtin sha2/mode in
-    Spark SQL. The two below are compatibility shims, not hot-path ops
-    (hot-path per-row compute stays in builtin functions / pandas UDFs)."""
+    """The reference's session UDFs (UDF.scala:50-55), every one a
+    builtin-expression SQL function — zero Python in the row path.
+    ``hash`` and ``most_common`` need no registration at all (builtin
+    sha2/mode in Spark SQL); geodistance and string_intersect are
+    registered as SQL macros so ``spark.sql`` queries can call them and
+    still run entirely inside whole-stage codegen."""
     # geodistance(lat1, lon1, lat2, lon2) — haversine metres (UDF.scala:14-26)
-    spark.udf.register(
-        "geodistance",
-        lambda lat1, lon1, lat2, lon2: _haversine(lat1, lon1, lat2, lon2),
-        "double",
-    )
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION geodistance(
+            lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE
+        ) RETURNS DOUBLE RETURN
+            2 * 6371000.0 * asin(sqrt(
+                pow(sin(radians(lat2 - lat1) / 2), 2)
+                + cos(radians(lat1)) * cos(radians(lat2))
+                  * pow(sin(radians(lon2 - lon1) / 2), 2)))
+    """)
     # string_intersect(a, b) over comma-separated sets (UDF.scala)
-    spark.udf.register(
-        "string_intersect",
-        lambda a, b: sorted(set((a or "").split(",")) & set((b or "").split(","))),
-        "array<string>",
-    )
-
-
-def _haversine(lat1, lon1, lat2, lon2) -> float:
-    r = 6371000.0
-    p1, p2 = math.radians(lat1), math.radians(lat2)
-    dp = math.radians(lat2 - lat1)
-    dl = math.radians(lon2 - lon1)
-    a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
-    return 2 * r * math.asin(math.sqrt(a))
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION string_intersect(
+            a STRING, b STRING
+        ) RETURNS ARRAY<STRING> RETURN
+            array_sort(array_distinct(array_intersect(
+                split(coalesce(a, ''), ','), split(coalesce(b, ''), ','))))
+    """)
 
 
 def sql(spark: SparkSession, query: str, **tables: DataFrame) -> DataFrame:

@@ -104,3 +104,41 @@ def test_attribute_helpers(spark):
     oh = one_hot_encode(g.vertices, "gender", ["Male", "Female"]).collect()
     assert all(sum(r["gender_onehot"]) == 1.0 for r in oh)
     assert correlate(g.vertices, "age", "income") == pytest.approx(1.0)
+
+
+def test_aggregator_catalog_tail(spark):
+    """Majority(frac), Concatenate, Elementwise* (Aggregate.scala:395-498)."""
+    from lynxkite_spark.operators.aggregate import AGGREGATORS, majority
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "x"), (2, "y")], "g long, v string"
+    )
+    out = df.groupBy("g").agg(
+        AGGREGATORS["majority_50"](F.col("v"), F.lit(1.0)).alias("m50"),
+        AGGREGATORS["majority_100"](F.col("v"), F.lit(1.0)).alias("m100"),
+        majority(0.4)(F.col("v"), F.lit(1.0)).alias("m40"),
+    )
+    got = {r["g"]: (r["m50"], r["m100"], r["m40"]) for r in out.collect()}
+    # g=1: mode a (2/3 >= .5 -> a; < 1.0 -> ""); g=2 ties x,y (1/2 each):
+    # deterministic smallest wins at 0.5 and 0.4, "" at 1.0
+    assert got == {1: ("a", "", "a"), 2: ("x", "", "x")}
+
+    vec = spark.createDataFrame(
+        [(1, [1.0, 10.0]), (1, [3.0, 20.0]), (2, [5.0, 5.0])],
+        "g long, v array<double>",
+    )
+    out = vec.groupBy("g").agg(
+        AGGREGATORS["elementwise_sum"](F.col("v"), F.lit(1.0)).alias("s"),
+        AGGREGATORS["elementwise_avg"](F.col("v"), F.lit(1.0)).alias("a"),
+        AGGREGATORS["elementwise_min"](F.col("v"), F.lit(1.0)).alias("lo"),
+        AGGREGATORS["elementwise_max"](F.col("v"), F.lit(1.0)).alias("hi"),
+        AGGREGATORS["concatenate"](F.col("v"), F.lit(1.0)).alias("cat"),
+    )
+    got = {r["g"]: r for r in out.collect()}
+    assert got[1]["s"] == [4.0, 30.0]
+    assert got[1]["a"] == [2.0, 15.0]
+    assert got[1]["lo"] == [1.0, 10.0]
+    assert got[1]["hi"] == [3.0, 20.0]
+    assert sorted(got[1]["cat"]) == [1.0, 3.0, 10.0, 20.0]
+    assert got[2]["s"] == [5.0, 5.0] == got[2]["a"] == got[2]["lo"] == got[2]["hi"]

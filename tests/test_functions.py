@@ -103,6 +103,26 @@ def test_ngram_jaccard_and_minhash(spark):
     dd = {(r["a"], r["b"]) for r in minhash_dedup(df, num_hashes=32, bands=8, threshold=0.5).collect()}
     assert dd == {(1, 2)}
 
+    # signature-estimate verify: no second pass over texts; the
+    # agreement fraction must approximate the true Jaccard
+    est = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in minhash_dedup(
+            df, num_hashes=32, bands=8, threshold=0.5, verify="estimate"
+        ).collect()
+    }
+    assert set(est) == {(1, 2)}
+    assert abs(est[(1, 2)] - pairs[(1, 2)]) < 0.3
+
+    # portable (md5-derived) hash path: same near-dup decision
+    ddp = {
+        (r["a"], r["b"])
+        for r in minhash_dedup(
+            df, num_hashes=32, bands=8, threshold=0.5, hash_fn="portable"
+        ).collect()
+    }
+    assert ddp == {(1, 2)}
+
 
 def test_simhash(spark):
     df = spark.createDataFrame(
@@ -156,3 +176,20 @@ def test_multimodal_plumbing(spark):
     frames = sample_frames(media, every_ms=1000)
     vids = media.where(F.col("kind") == "video").count()
     assert frames.select("media_id").distinct().count() == vids
+
+
+def test_session_udfs_are_builtin_sql_macros(spark):
+    """The reference's session UDFs (geodistance, string_intersect) are
+    SQL macros, not Python lambdas — no BatchEvalPython in the plan."""
+    from lynxkite_spark.sql import register_udfs
+
+    register_udfs(spark)
+    df = spark.sql("""
+        SELECT geodistance(48.8566, 2.3522, 51.5074, -0.1278) AS d,
+               string_intersect('b,a,c', 'c,b,x') AS s
+    """)
+    row = df.first()
+    assert abs(row["d"] - 343_556) < 1000  # Paris-London ~343.5 km
+    assert row["s"] == ["b", "c"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan

@@ -129,3 +129,87 @@ def test_shuffle_hash_hint_respected(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_exact_dedup_shuffles_hash_not_text(spark):
+    """VERDICT r1 'What's wrong #3': the dedup shuffle key must be the
+    sha2 of the normalized text, never the text itself."""
+    from lynxkite_spark.functions.dedup import exact_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, f"some document body {i % 7}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    out = exact_duplicates(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every exchange must partition on the hashed key, not the raw text
+    for chunk in plan.split("Exchange hashpartitioning(")[1:]:
+        assert not chunk[:80].startswith("text#"), chunk[:120]
+        assert "text#" not in chunk[: chunk.index(")")], chunk[:120]
+    assert "sha2" in plan
+
+
+def test_lsh_verify_prunes_before_pairwise_join(spark):
+    """VERDICT r1 'What's wrong #1': the candidate semi-join must reach
+    the shingle table BEFORE the quadratic co-shingle join, so a popular
+    shingle among non-candidates can't explode the join."""
+    from lynxkite_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
+    out = ngram_jaccard_pairs(docs, candidates=cand)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # two semi-joins: doc-id pruning (below the pairwise join) + pair filter
+    assert plan.count("LeftSemi") >= 2
+    # and the result is still correct: only candidate pairs scored
+    rows = {(r["a"], r["b"]) for r in out.collect()}
+    assert rows <= {(1, 2), (3, 4)}
+
+
+def test_ranking_has_no_single_partition_window(spark):
+    """VERDICT r1 'What's wrong #4': add_ranking must not funnel every
+    row through one reducer; the window must be partitioned."""
+    from lynxkite_spark.operators.attributes import add_ranking
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 101)) for i in range(500)], "id long, key double"
+    )
+    out = add_ranking(df, "rank", "key")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # output must equal the global row_number semantics
+    got = {r["id"]: r["rank"] for r in out.collect()}
+    expected = {
+        r[0]: i
+        for i, r in enumerate(
+            sorted(((r["id"], r["key"]) for r in df.collect()), key=lambda t: (t[1], t[0]))
+        )
+    }
+    assert got == expected
+
+
+def test_kcore_hindex_has_no_raw_neighborhood_window(spark):
+    """VERDICT r1 'What's wrong #6': the h-index window must run on the
+    aggregated (id, value) histogram, not the raw gathered messages —
+    the plan's window input is an Aggregate, not the edge join. Also
+    checks the histogram formulation equals the sorted-prefix h-index."""
+    from lynxkite_spark.operators.kcore import h_index_per_vertex
+
+    msgs = spark.createDataFrame(
+        [(1, 3), (1, 2), (1, 2), (1, 9), (2, 1), (2, 5)], "id long, n_est long"
+    )
+    est = spark.createDataFrame([(1, 4), (2, 7)], "id long, est long")
+    out = h_index_per_vertex(msgs, est)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    w = plan.find("Window")
+    assert w != -1
+    below = plan[w:]
+    agg = below.find("Aggregate")
+    join = below.find("Join")
+    assert agg != -1 and (join == -1 or agg < join), below[:400]
+    # [3,2,2,9] -> sorted desc [9,3,2,2] -> h = 2; [1,5] -> h = 1
+    got = {r["id"]: r["h"] for r in out.collect()}
+    assert got == {1: 2, 2: 1}

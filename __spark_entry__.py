@@ -371,6 +371,155 @@ def _ann_oracle_sql(n_planes: int = 6, dim: int = 64, seed: int = 42, k: int = 3
     """
 
 
+def _hyperball_ctes(rounds: int, log2m: int = 6, seed: int = 7) -> str:
+    """Unrolled HyperBall register state (hyperball.py semantics) on the
+    canonical directed co-order graph, portable hash. Produces CTEs
+    s0..s{rounds} (sparse registers) and est0..est{rounds} (per-vertex
+    HLL cardinality, the exact-integer Σ2^(50−reg) form)."""
+    m = 1 << log2m
+    alpha_m2 = repr((0.709 if m == 64 else 0.7213 / (1 + 1.079 / m)) * m * m)
+    big = 1 << 50
+    ctes = [
+        f"e AS MATERIALIZED (SELECT a AS src, b AS dst FROM ({_EDGES_CANON_SQL}) AS t0)",
+        "v AS (SELECT p_partkey AS id FROM part)",
+        f"""h0 AS (SELECT id,
+              CAST(('0x' || substr(md5(id::VARCHAR || '|{seed}'), 1, 15)) AS BIGINT) AS h
+            FROM v)""",
+        f"""s0 AS MATERIALIZED (
+            SELECT id, CAST(h & {m - 1} AS INT) AS pos,
+                   CAST(least(CASE WHEN w = 0 THEN {64 - log2m}
+                              ELSE CAST(floor(log2(w & -w)) AS INT) + 1 END,
+                              50) AS INT) AS reg
+            FROM (SELECT id, h, h >> {log2m} AS w FROM h0))""",
+    ]
+    for t in range(rounds + 1):
+        if t > 0:
+            p = t - 1
+            ctes.append(
+                f"""s{t} AS MATERIALIZED (
+                SELECT id, pos, max(reg) AS reg FROM (
+                  SELECT * FROM s{p}
+                  UNION ALL
+                  SELECT e.dst AS id, s.pos, s.reg FROM e JOIN s{p} s ON e.src = s.id
+                ) GROUP BY id, pos)"""
+            )
+        ctes.append(
+            f"""est{t} AS (
+            SELECT v.id, coalesce(
+              CASE WHEN raw <= {repr(2.5 * m)} AND ({m} - nz) > 0
+                   THEN {float(m)!r} * ln({float(m)!r} / ({m} - nz))
+                   ELSE raw END, 0.0) AS e
+            FROM v LEFT JOIN (
+              SELECT id, nz, {alpha_m2} / ((z_nz + ({m} - nz) * {big})::DOUBLE
+                                           / {float(big)!r}) AS raw
+              FROM (SELECT id, sum(1::BIGINT << (50 - reg)) AS z_nz,
+                           count(*) AS nz
+                    FROM s{t} GROUP BY id)
+            ) p ON v.id = p.id)"""
+        )
+    return ",\n".join(ctes)
+
+
+def _hyperball_harmonic_oracle_sql(rounds: int = 2) -> str:
+    acc = "0.0 + " + " + ".join(
+        f"(est{t}.e - est{t - 1}.e) / {float(t)!r}" for t in range(1, rounds + 1)
+    )
+    joins = " ".join(f"JOIN est{t} ON v.id = est{t}.id" for t in range(rounds + 1))
+    return f"""
+        WITH {_hyperball_ctes(rounds)}
+        SELECT v.id, round({acc}, 6) AS harmonic
+        FROM v {joins}
+    """
+
+
+def _neighborhood_fn_oracle_sql(rounds: int = 3) -> str:
+    """Global neighborhood function per round; per-vertex estimates are
+    rounded to integer micro-units BEFORE summing so the cross-engine
+    float summation order cannot flip the hash."""
+    parts = " UNION ALL ".join(
+        f"SELECT {t} AS t, sum(CAST(round(e * 1000000.0) AS BIGINT)) AS nf_micro "
+        f"FROM est{t}"
+        for t in range(rounds + 1)
+    )
+    return f"WITH {_hyperball_ctes(rounds)} {parts}"
+
+
+def _brandes_ctes(k: int = 8, depth: int = 4) -> str:
+    """Unrolled k-source Brandes (betweenness.py semantics) on the
+    symmetric co-order graph: roots = the k smallest part ids; forward
+    BFS with σ path counting to ``depth`` hops, then the backward
+    dependency accumulation level by level. Produces CTEs s{depth}
+    (root, id, d, sigma) and del0 (… delta)."""
+    ctes = [
+        f"e AS MATERIALIZED ({_EDGES_SYM_SQL})",
+        f"roots AS (SELECT p_partkey AS root FROM part ORDER BY p_partkey LIMIT {k})",
+        "f0 AS (SELECT root, root AS id, 0 AS d, 1.0::DOUBLE AS sigma FROM roots)",
+        "s0 AS MATERIALIZED (SELECT * FROM f0)",
+    ]
+    for d in range(1, depth + 1):
+        p = d - 1
+        ctes.append(
+            f"""n{d} AS (SELECT f.root, e.dst AS id, {d} AS d,
+                 sum(f.sigma) AS sigma
+               FROM f{p} f JOIN e ON f.id = e.src GROUP BY f.root, e.dst)"""
+        )
+        ctes.append(
+            f"""f{d} AS MATERIALIZED (SELECT n.* FROM n{d} n
+               LEFT JOIN s{p} s ON n.root = s.root AND n.id = s.id
+               WHERE s.id IS NULL)"""
+        )
+        ctes.append(
+            f"s{d} AS MATERIALIZED (SELECT * FROM s{p} UNION ALL SELECT * FROM f{d})"
+        )
+    ctes.append(
+        f"del{depth} AS (SELECT root, id, d, sigma, 0.0::DOUBLE AS delta FROM s{depth})"
+    )
+    for d in range(depth - 1, -1, -1):
+        up = d + 1
+        ctes.append(
+            f"""c{d} AS (SELECT w.root, e.src AS id,
+                 sum((1.0 + w.delta) / w.sigma) AS c
+               FROM del{up} w JOIN e ON w.id = e.dst
+               WHERE w.d = {up} GROUP BY w.root, e.src)"""
+        )
+        ctes.append(
+            f"""del{d} AS MATERIALIZED (
+               SELECT t.root, t.id, t.d, t.sigma,
+                      CASE WHEN t.d = {d}
+                           THEN t.delta + t.sigma * coalesce(c.c, 0.0)
+                           ELSE t.delta END AS delta
+               FROM del{up} t LEFT JOIN c{d} c
+                 ON t.root = c.root AND t.id = c.id)"""
+        )
+    return ",\n".join(ctes)
+
+
+def _betweenness_oracle_sql(k: int = 8, depth: int = 4) -> str:
+    return f"""
+        WITH {_brandes_ctes(k, depth)},
+        dep AS (SELECT id, sum(delta) AS dep FROM del0 WHERE d > 0 GROUP BY id),
+        nv AS (SELECT count(*) AS n FROM part)
+        SELECT p.p_partkey AS id,
+               round(coalesce(dep.dep, 0.0) * (nv.n::DOUBLE / {float(k)!r}), 6)
+                 AS betweenness
+        FROM part p CROSS JOIN nv LEFT JOIN dep ON p.p_partkey = dep.id
+    """
+
+
+def _closeness_oracle_sql(k: int = 8, depth: int = 4) -> str:
+    return f"""
+        WITH {_brandes_ctes(k, depth)},
+        sums AS (SELECT id, sum(d) AS sum_d FROM s{depth} WHERE d > 0 GROUP BY id),
+        nv AS (SELECT count(*) AS n FROM part)
+        SELECT p.p_partkey AS id,
+               round(CASE WHEN coalesce(sums.sum_d, 0) > 0
+                     THEN (nv.n - 1)::DOUBLE
+                          / ((nv.n::DOUBLE / {float(k)!r}) * sums.sum_d)
+                     ELSE 0.0 END, 6) AS closeness
+        FROM part p CROSS JOIN nv LEFT JOIN sums ON p.p_partkey = sums.id
+    """
+
+
 _BFS2_DIST_SQL = f"""
     WITH RECURSIVE e AS (SELECT a AS src, b AS dst
                          FROM ({_EDGES_CANON_SQL}) AS t),
@@ -507,6 +656,65 @@ def _q_average_distance(spark, sf_dir):
     g = _coorder_graph(spark, sf_dir)
     return average_distance(g, max_distance=2).select(
         "id", F.round("average_distance", 6).alias("average_distance")
+    )
+
+
+def _q_betweenness(spark, sf_dir):
+    """Sampled-source Brandes betweenness, 8 deterministic roots
+    (smallest ids — SQL-expressible), 4-hop cap shared with the oracle."""
+    from lynxkite_spark.operators.betweenness import betweenness_centrality
+
+    g = _coorder_graph(spark, sf_dir)
+    roots = g.vertices.orderBy("id").limit(8).select("id")
+    out = betweenness_centrality(g, max_depth=4, roots=roots)
+    return out.select("id", F.round("betweenness", 6).alias("betweenness"))
+
+
+def _q_closeness(spark, sf_dir):
+    """Sampled (Eppstein-Wang) closeness from the same 8-root BFS."""
+    from lynxkite_spark.operators.betweenness import closeness_centrality
+
+    g = _coorder_graph(spark, sf_dir)
+    roots = g.vertices.orderBy("id").limit(8).select("id")
+    out = closeness_centrality(g, max_depth=4, roots=roots)
+    return out.select("id", F.round("closeness", 6).alias("closeness"))
+
+
+def _q_hyperball_harmonic(spark, sf_dir):
+    """HLL-sketch harmonic centrality (the 100 TB path for the
+    HyperBall family) — portable hash so the DuckDB oracle replays the
+    register pipeline exactly (registers are integers, the Σ2^(−reg)
+    sum is an exact bigint, so parity holds to float-op identity)."""
+    from lynxkite_spark.operators.hyperball import harmonic_centrality_approx
+
+    g = _coorder_graph(spark, sf_dir)
+    out = harmonic_centrality_approx(g, max_distance=2, log2m=6, hash_fn="portable")
+    return out.select("id", F.round("harmonic", 6).alias("harmonic"))
+
+
+def _q_neighborhood_function(spark, sf_dir):
+    """Global HyperANF neighborhood function N(t), t = 0..3, in exact
+    integer micro-units (per-vertex estimates rounded to 1e-6 before the
+    global sum → no cross-engine float-order sensitivity)."""
+    from lynxkite_spark.operators.hyperball import hyperball
+
+    g = _coorder_graph(spark, sf_dir)
+    rounds = hyperball(g, max_distance=3, log2m=6, hash_fn="portable", keep_rounds=True)
+    return (
+        rounds.groupBy("t")
+        .agg(F.sum(F.round(F.col("e") * 1e6, 0).cast("long")).alias("nf_micro"))
+        .select(F.col("t").cast("int").alias("t"), "nf_micro")
+    )
+
+
+def _q_assortativity(spark, sf_dir):
+    """Degree assortativity scalar (networkit_compute_scalar.go:25-48) —
+    exact integer moment sums, one-row result."""
+    from lynxkite_spark.operators.scalars import degree_assortativity
+
+    g = _coorder_graph(spark, sf_dir)
+    return degree_assortativity(g).select(
+        F.round("assortativity", 6).alias("assortativity")
     )
 
 
@@ -864,6 +1072,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_katz_3iter": _q_katz,
         "graph_harmonic": _q_harmonic,
         "graph_average_distance": _q_average_distance,
+        "graph_betweenness_8roots": _q_betweenness,
+        "graph_closeness_8roots": _q_closeness,
+        "graph_hyperball_harmonic": _q_hyperball_harmonic,
+        "graph_neighborhood_function": _q_neighborhood_function,
+        "graph_assortativity": _q_assortativity,
         "graph_modular_clustering": _q_modular_clustering,
         "graph_merge_vertices": _q_merge_vertices,
         "graph_aggregate_neighbors": _q_aggregate_neighbors,
@@ -965,6 +1178,26 @@ def oracle_sql() -> dict[str, str]:
               WHERE walk.d < 19
             )
             SELECT id, CAST(min(d) AS DOUBLE) AS distance FROM walk GROUP BY id
+        """,
+        "graph_betweenness_8roots": _betweenness_oracle_sql(8, 4),
+        "graph_closeness_8roots": _closeness_oracle_sql(8, 4),
+        "graph_hyperball_harmonic": _hyperball_harmonic_oracle_sql(2),
+        "graph_neighborhood_function": _neighborhood_fn_oracle_sql(3),
+        "graph_assortativity": f"""
+            WITH e0 AS ({_EDGES_CANON_SQL}),
+            sym AS (SELECT a AS src, b AS dst FROM e0
+                    UNION ALL SELECT b, a FROM e0),
+            deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+            s AS (
+              SELECT count(*) AS n, sum(dx.deg) AS sx,
+                     sum(dx.deg * dy.deg) AS sxy,
+                     sum(dx.deg * dx.deg) AS sx2
+              FROM sym JOIN deg dx ON sym.src = dx.id
+                       JOIN deg dy ON sym.dst = dy.id)
+            SELECT round(CASE WHEN n * sx2 - sx * sx = 0 THEN 0.0
+                   ELSE (n * sxy - sx * sx)::DOUBLE
+                        / (n * sx2 - sx * sx)::DOUBLE END, 6) AS assortativity
+            FROM s
         """,
         "graph_label_propagation": _lpa_oracle_sql(10),
         "graph_kcore": _kcore_oracle_sql(24),

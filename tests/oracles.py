@@ -107,3 +107,73 @@ def lpa_oracle(
             break
         label = new
     return label
+
+
+def brandes_oracle(
+    vertices: list[int], edges: list[tuple[int, int]]
+) -> dict[int, float]:
+    """Exact Brandes betweenness on the undirected simple graph
+    (unnormalized, every vertex a source — Brandes 2001)."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    bc = {v: 0.0 for v in vertices}
+    for s in vertices:
+        stack, preds = [], defaultdict(list)
+        sigma = defaultdict(float)
+        sigma[s] = 1.0
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = defaultdict(float)
+        while stack:
+            w = stack.pop()
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+        # undirected: each pair counted from both endpoints -> halve at
+        # the end if matching networkx; we keep the raw directed-sum
+        # convention (the Spark op does the same).
+    return bc
+
+
+def closeness_oracle(
+    vertices: list[int], edges: list[tuple[int, int]]
+) -> dict[int, float]:
+    """Exact closeness (n-1)/Σd over the undirected graph, 0 when
+    isolated."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    n = len(vertices)
+    out = {}
+    for s in vertices:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        tot = sum(d for v, d in dist.items() if d > 0)
+        out[s] = (n - 1) / tot if tot > 0 else 0.0
+    return out

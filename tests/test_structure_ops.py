@@ -119,3 +119,19 @@ def test_split_vertices(spark):
     per = {r["original_id"]: r["n"] for r in out.groupBy("original_id").agg(F.count("*").alias("n")).collect()}
     assert per == {1: 3, 3: 1}
     assert out.select("id").distinct().count() == 4
+
+
+def test_split_edges(spark):
+    from lynxkite_spark.operators.structure import split_edges
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [(1, 2, 2.0), (2, 3, 0.0), (3, 4, 1.4)], "src long, dst long, n double"
+    )
+    out = split_edges(e, "n").collect()
+    by_pair = {}
+    for r in out:
+        by_pair.setdefault((r["src"], r["dst"]), []).append(r["index"])
+    # round-to-count replication: 2.0 -> 2 copies, 0 -> dropped, 1.4 -> 1
+    assert by_pair == {(1, 2): [1, 2], (3, 4): [1]}
+    assert len({r["edge_id"] for r in out}) == 3

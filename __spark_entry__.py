@@ -718,6 +718,18 @@ def _q_assortativity(spark, sf_dir):
     )
 
 
+def _q_max_cliques(spark, sf_dir):
+    """Maximal-clique segmentation summarized as a size histogram
+    (rows-only check: Bron-Kerbosch enumeration has no SQL form; the
+    operator is pytest-verified against an independent pure-Python BK)."""
+    from lynxkite_spark.operators.cliques import find_max_cliques
+
+    g = _coorder_graph(spark, sf_dir)
+    bt = find_max_cliques(g, min_clique_size=3)
+    sizes = bt.groupBy("clique_id").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy("size").agg(F.count(F.lit(1)).alias("n_cliques")).orderBy("size")
+
+
 def _q_modular_clustering(spark, sf_dir):
     """Louvain communities of the co-order graph (rows-only check:
     iterative modularity-gain moves are not SQL-expressible)."""
@@ -1078,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_neighborhood_function": _q_neighborhood_function,
         "graph_assortativity": _q_assortativity,
         "graph_modular_clustering": _q_modular_clustering,
+        "graph_max_cliques": _q_max_cliques,
         "graph_merge_vertices": _q_merge_vertices,
         "graph_aggregate_neighbors": _q_aggregate_neighbors,
         "graph_set_overlap": _q_set_overlap,

@@ -97,6 +97,47 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     pagerank(g_repo, damping=0.85, tol=1e-6, max_iterations=100).count()
     times["q_corpus_pagerank"] = round(time.time() - t0, 3)
     extra["corpus_edges"] = e_cnt
+
+    # LLM-pipeline suites (VERDICT r1 item 10: bench breadth)
+    from lynxkite_spark.functions.dedup import (
+        exact_duplicates,
+        minhash_dedup,
+        simhash,
+    )
+    from lynxkite_spark.functions.similarity import ann_lsh_topk, brute_force_topk
+    from lynxkite_spark.operators.hyperball import hyperball
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    exact_duplicates(docs).count()
+    times["q_docs_exact_dedup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    minhash_dedup(docs, num_hashes=64, bands=16, threshold=0.5).count()
+    times["q_docs_minhash_dedup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    minhash_dedup(docs, num_hashes=64, bands=16, threshold=0.5, verify="estimate").count()
+    times["q_docs_minhash_estimate"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    simhash(docs).count()
+    times["q_docs_simhash"] = round(time.time() - t0, 3)
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = embs.where(F.col("vec_id") < 100)
+    t0 = time.time()
+    brute_force_topk(embs, q, k=10).count()
+    times["q_emb_bruteforce_topk"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    ann_lsh_topk(embs, q, k=10, n_planes=6).count()
+    times["q_emb_ann_lsh"] = round(time.time() - t0, 3)
+
+    # HLL HyperBall (the scale path that replaced exact all-pairs BFS)
+    t0 = time.time()
+    hyperball(g_canon, max_distance=4, log2m=6).count()
+    times["q_hyperball_4hops"] = round(time.time() - t0, 3)
     return times, extra
 
 

@@ -718,6 +718,16 @@ def _q_assortativity(spark, sf_dir):
     )
 
 
+def _q_dispersion(spark, sf_dir):
+    """Backstrom-Kleinberg dispersion per edge (exact integer counts)."""
+    from lynxkite_spark.operators.clustering import dispersion
+
+    g = _coorder_graph(spark, sf_dir)
+    return dispersion(g).select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), "dispersion"
+    )
+
+
 def _q_max_cliques(spark, sf_dir):
     """Maximal-clique segmentation summarized as a size histogram
     (rows-only check: Bron-Kerbosch enumeration has no SQL form; the
@@ -1091,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": _q_assortativity,
         "graph_modular_clustering": _q_modular_clustering,
         "graph_max_cliques": _q_max_cliques,
+        "graph_dispersion": _q_dispersion,
         "graph_merge_vertices": _q_merge_vertices,
         "graph_aggregate_neighbors": _q_aggregate_neighbors,
         "graph_set_overlap": _q_set_overlap,
@@ -1191,6 +1202,27 @@ def oracle_sql() -> dict[str, str]:
               WHERE walk.d < 19
             )
             SELECT id, CAST(min(d) AS DOUBLE) AS distance FROM walk GROUP BY id
+        """,
+        "graph_dispersion": f"""
+            WITH und AS MATERIALIZED ({_EDGES_CANON_SQL}),
+            nbr AS (SELECT a AS v, b AS n FROM und UNION ALL SELECT b, a FROM und),
+            cn AS (
+              SELECT und.a, und.b, l.n AS s
+              FROM und JOIN nbr l ON und.a = l.v
+                       JOIN nbr r ON und.b = r.v AND r.n = l.n
+            ),
+            pairs AS (
+              SELECT x.a, x.b, x.s, y.s AS t
+              FROM cn x JOIN cn y ON x.a = y.a AND x.b = y.b AND x.s < y.s
+            ),
+            nonadj AS (
+              SELECT p.a, p.b FROM pairs p
+              LEFT JOIN und q ON p.s = q.a AND p.t = q.b
+              WHERE q.a IS NULL
+            ),
+            disp AS (SELECT a, b, count(*) AS d FROM nonadj GROUP BY a, b)
+            SELECT und.a, und.b, coalesce(disp.d, 0) AS dispersion
+            FROM und LEFT JOIN disp ON und.a = disp.a AND und.b = disp.b
         """,
         "graph_betweenness_8roots": _betweenness_oracle_sql(8, 4),
         "graph_closeness_8roots": _closeness_oracle_sql(8, 4),

@@ -98,6 +98,13 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     times["q_corpus_pagerank"] = round(time.time() - t0, 3)
     extra["corpus_edges"] = e_cnt
 
+    # same derive, JVM-side regexp_extract_all (no Arrow boundary):
+    # quantifies the Python-boundary cost of the pandas-UDF contract path
+    t0 = time.time()
+    edges_b, _ = derive_repo_edges(corpus, extractor="builtin")
+    edges_b.count()
+    times["q_corpus_derive_builtin"] = round(time.time() - t0, 3)
+
     # LLM-pipeline suites (VERDICT r1 item 10: bench breadth)
     from lynxkite_spark.functions.dedup import (
         exact_duplicates,

@@ -45,6 +45,27 @@ def extract_imports(content: pd.Series, lang: pd.Series) -> pd.Series:
     return out
 
 
+def extract_imports_builtin(content, lang):
+    """The same extraction as :func:`extract_imports` but entirely
+    JVM-side (``regexp_extract_all`` inside whole-stage codegen — no
+    Arrow boundary at all). The north rule's contract is the
+    pandas/Arrow form, which stays the default; this variant exists to
+    quantify the Python-boundary cost (bench: q_corpus_derive vs
+    q_corpus_derive_builtin) and as the faster choice when the
+    vectorized-UDF requirement doesn't apply."""
+    jvm_patterns = {
+        "python": r"(?m)^import\s+([A-Za-z_][\w.]*)",
+        "java": r"(?m)^import\s+([A-Za-z_][\w.]*)\s*;",
+        "go": r'"([A-Za-z_][\w.]*)"',
+    }
+    expr = F.array().cast("array<string>")
+    for lg, pat in jvm_patterns.items():
+        expr = F.when(
+            lang == lg, F.regexp_extract_all(content, F.lit(pat), F.lit(1))
+        ).otherwise(expr)
+    return expr
+
+
 def module_to_repo(col):
     """Module name → repo name (``org_repo_00017.mod_3`` → ``org/repo-00017``)."""
     return F.concat(
@@ -52,7 +73,9 @@ def module_to_repo(col):
     )
 
 
-def derive_repo_edges(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+def derive_repo_edges(
+    corpus: DataFrame, extractor: str = "pandas"
+) -> tuple[DataFrame, DataFrame]:
     """Corpus → (repo_edges[src,dst,weight], repo_ids[id,repo]).
 
     * IDs are value-derived ``xxhash64(repo)`` — identical across runs and
@@ -63,10 +86,13 @@ def derive_repo_edges(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
     repos = corpus.select("repo").distinct()
     repo_ids = repos.select(F.xxhash64("repo").alias("id"), "repo")
 
+    imports = (
+        extract_imports_builtin(F.col("content"), F.col("lang"))
+        if extractor == "builtin"
+        else extract_imports("content", "lang")
+    )
     refs = (
-        corpus.select(
-            "repo", F.explode(extract_imports("content", "lang")).alias("module")
-        )
+        corpus.select("repo", F.explode(imports).alias("module"))
         .withColumn("dst_repo", module_to_repo(F.col("module")))
         .where(F.col("dst_repo") != F.col("repo"))
         .where(F.regexp_extract("module", r"^org_repo_(\d{5})", 1) != "")

@@ -21,6 +21,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 FILE_FORMATS = {"parquet", "orc", "json", "csv", "avro", "text"}
 CATALOG_FORMATS = {"iceberg", "delta", "hive"}
+# connector-backed sources (ImportOperations.scala:167 Neo4j, :360
+# BigQuery): spark-submit --packages supplies the DataSource V2 jars;
+# the option names below are those connectors' public contracts
+CONNECTOR_FORMATS = {
+    "neo4j": "org.neo4j.spark.DataSource",
+    "bigquery": "bigquery",
+}
 
 
 def read_table(
@@ -40,6 +47,20 @@ def read_table(
             raise RuntimeError(
                 f"{fmt} runtime not available in this environment; "
                 f"add the connector jar via spark-submit --packages"
+            ) from e
+    if fmt in CONNECTOR_FORMATS:
+        try:
+            reader = spark.read.format(CONNECTOR_FORMATS[fmt])
+            for k, v in options.items():
+                reader = reader.option(k, str(v))
+            # neo4j: labels=/query= option selects nodes or cypher;
+            # bigquery: the table id is the load() argument
+            return reader.load(path_or_table) if fmt == "bigquery" else reader.load()
+        except Exception as e:
+            raise RuntimeError(
+                f"{fmt} connector not available in this environment; add it "
+                f"via spark-submit --packages (reference import box: "
+                f"ImportOperations.scala:167/360)"
             ) from e
     if fmt == "jdbc":
         reader = spark.read.format("jdbc")

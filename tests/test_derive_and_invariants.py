@@ -124,3 +124,20 @@ def test_checkpoint_resume(spark, corpus, tmp_path):
     # bit-identical to THAT run
     again = pagerank(g, iterations=6, tol=None, checkpoint=cp, checkpoint_every=3, input_fingerprint=fp)
     assert {r["id"]: r["pagerank"] for r in again.collect()} == ranks_resumed
+
+
+def test_builtin_extractor_matches_pandas_udf(spark):
+    """derive.py offers a JVM-side regexp_extract_all variant; it must
+    produce exactly the pandas-UDF edge table."""
+    from lynxkite_spark.corpus import synth_corpus
+    from lynxkite_spark.derive import derive_repo_edges
+
+    corpus = synth_corpus(spark, n_repos=40, n_files=800, seed=9)
+    a, _ = derive_repo_edges(corpus, extractor="pandas")
+    b, _ = derive_repo_edges(corpus, extractor="builtin")
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb
+    # and the builtin path really has no Python in the plan
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -193,3 +193,16 @@ def test_session_udfs_are_builtin_sql_macros(spark):
     assert row["s"] == ["b", "c"]
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_connector_formats_routed_with_clear_error(spark):
+    """Neo4j/BigQuery route through the unified reader and fail with an
+    actionable message when the connector jar is absent (sandbox)."""
+    import pytest as _pytest
+
+    from lynxkite_spark.sources.io import read_table
+
+    with _pytest.raises(RuntimeError, match="neo4j connector not available"):
+        read_table(spark, "", format="neo4j", labels=":Person")
+    with _pytest.raises(RuntimeError, match="bigquery connector not available"):
+        read_table(spark, "proj.ds.tbl", format="bigquery")

@@ -444,6 +444,68 @@ def _neighborhood_fn_oracle_sql(rounds: int = 3) -> str:
     return f"WITH {_hyperball_ctes(rounds)} {parts}"
 
 
+def _louvain_oracle_sql(rounds: int = 6) -> str:
+    """Unrolled single-level Louvain (modular.py::_one_level semantics,
+    levels=1): per round every vertex scores neighboring communities
+    (gain = k_vc − k·Σtot_c/2m, loop-free), compares the best against
+    the explicit stay gain, and moves half-synchronously by the parity
+    of the portable hash(id, round). All gain inputs are exact
+    integer-valued doubles (unit weights), so both engines compute
+    identical gains; a converged round is a fixed point, so the fixed
+    unroll equals Spark's early-stopped loop."""
+    ctes = [
+        f"e0 AS MATERIALIZED ({_EDGES_CANON_SQL})",
+        "sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0 "
+        "UNION ALL SELECT b, a FROM e0)",
+        "v AS (SELECT p_partkey AS id FROM part)",
+        "tm AS (SELECT CAST(count(*) AS DOUBLE) AS m2 FROM sym)",
+        "kt AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS k FROM sym GROUP BY src)",
+        "l0 AS (SELECT v.id, v.id AS label, coalesce(kt.k, 0.0) AS k "
+        "FROM v LEFT JOIN kt ON v.id = kt.id)",
+    ]
+    for r in range(rounds):
+        p, n = r, r + 1
+        parity = (
+            f"CAST(('0x' || substr(md5(w.id::VARCHAR || '|{r}'), 1, 15)) AS BIGINT) % 2 = 0"
+        )
+        ctes.append(
+            f"tot{p} AS (SELECT label, sum(k) AS tot FROM l{p} GROUP BY label)"
+        )
+        ctes.append(
+            f"""kvc{p} AS (SELECT s.src AS id, l.label AS c,
+                 CAST(count(*) AS DOUBLE) AS kvc
+               FROM sym s JOIN l{p} l ON s.dst = l.id GROUP BY s.src, l.label)"""
+        )
+        ctes.append(
+            f"""cand{p} AS (SELECT kv.id, kv.c, cu.label AS cur, cu.k, kv.kvc,
+                 kv.kvc - cu.k * t.tot / tm.m2 AS gain
+               FROM kvc{p} kv JOIN l{p} cu ON kv.id = cu.id
+               JOIN tot{p} t ON kv.c = t.label CROSS JOIN tm)"""
+        )
+        ctes.append(
+            f"""best{p} AS (SELECT id, c AS best_c, gain AS best_gain, cur, k FROM (
+                 SELECT *, row_number() OVER (PARTITION BY id
+                   ORDER BY gain DESC, c ASC) AS rn
+                 FROM cand{p} WHERE c <> cur) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""want{p} AS (SELECT b.id, b.best_c FROM best{p} b
+               LEFT JOIN (SELECT id, kvc FROM cand{p} WHERE c = cur) kc
+                 ON b.id = kc.id
+               JOIN tot{p} tc ON b.cur = tc.label CROSS JOIN tm
+               WHERE b.best_gain > coalesce(kc.kvc, 0.0)
+                     - b.k * (tc.tot - b.k) / tm.m2 + 1e-12)"""
+        )
+        ctes.append(
+            f"""l{n} AS MATERIALIZED (SELECT l.id,
+                 CASE WHEN w.best_c IS NOT NULL THEN w.best_c ELSE l.label END AS label,
+                 l.k
+               FROM l{p} l LEFT JOIN
+                 (SELECT * FROM want{p} w WHERE {parity}) w ON l.id = w.id)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{rounds}"
+
+
 def _brandes_ctes(k: int = 8, depth: int = 4) -> str:
     """Unrolled k-source Brandes (betweenness.py semantics) on the
     symmetric co-order graph: roots = the k smallest part ids; forward
@@ -741,10 +803,10 @@ def _q_max_cliques(spark, sf_dir):
 
 
 def _q_modular_clustering(spark, sf_dir):
-    """Louvain communities of the co-order graph (rows-only check:
-    iterative modularity-gain moves are not SQL-expressible)."""
+    """Single-level Louvain with portable move-parity hash — the DuckDB
+    oracle unrolls the same 6 gain-move rounds (hash parity)."""
     g = _coorder_graph(spark, sf_dir)
-    return modular_clustering(g, max_rounds=6, levels=1)
+    return modular_clustering(g, max_rounds=6, levels=1, hash_fn="portable")
 
 
 def _q_merge_vertices(spark, sf_dir):
@@ -1245,6 +1307,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "graph_label_propagation": _lpa_oracle_sql(10),
+        "graph_modular_clustering": _louvain_oracle_sql(6),
         "graph_kcore": _kcore_oracle_sql(24),
         "graph_katz_3iter": _katz_oracle_sql(3, 0.05, 1.0),
         "docs_minhash_dedup": _minhash_oracle_sql(32, 8, 0.5, 3),

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from lynxkite_spark.functions.dedup import portable_hash64
 from lynxkite_spark.graph import Graph
 
 
@@ -48,7 +49,11 @@ def _sym_weighted(edges: DataFrame) -> DataFrame:
 
 
 def _one_level(
-    sym: DataFrame, vertices: DataFrame, two_m: float, max_rounds: int
+    sym: DataFrame,
+    vertices: DataFrame,
+    two_m: float,
+    max_rounds: int,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Louvain phase 1 on a symmetric weighted graph: returns
     labels[id, label] after greedy gain moves converge."""
@@ -137,7 +142,12 @@ def _one_level(
         n_wanted = wanted.limit(1).count()
         if n_wanted == 0:
             break
-        movable = F.pmod(F.xxhash64("id", F.lit(rnd)), F.lit(2)) == 0
+        # half-synchronous move parity; hash_fn="portable" makes the
+        # DuckDB oracle able to replay the parity decision exactly
+        if hash_fn == "portable":
+            movable = F.pmod(portable_hash64(F.col("id"), rnd), F.lit(2)) == 0
+        else:
+            movable = F.pmod(F.xxhash64("id", F.lit(rnd)), F.lit(2)) == 0
         moves = wanted.where(movable)
         labels = (
             labels.join(moves, "id", "left")
@@ -154,6 +164,7 @@ def modular_clustering(
     graph: Graph,
     max_rounds: int = 20,
     levels: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Louvain community detection. Returns belongs_to
     DataFrame[id, label] where label is a community id (a vertex id of
@@ -172,7 +183,7 @@ def modular_clustering(
     cur_vertices = vertices
     cur_sym = sym
     for level in range(levels):
-        labels = _one_level(cur_sym, cur_vertices, two_m, max_rounds)
+        labels = _one_level(cur_sym, cur_vertices, two_m, max_rounds, hash_fn)
         # compose: original id → this level's community
         assignment = (
             assignment.join(

@@ -83,20 +83,40 @@ def connected_components(
     graph: Graph,
     algorithm: str = "star",
     max_iterations: int = 50,
+    checkpoint=None,
+    checkpoint_every: int = 10,
+    input_fingerprint: str | None = None,
 ) -> DataFrame:
     """Returns ``belongs_to``: DataFrame[id: long, component: long] — a
-    total function (every vertex labeled), component = min vertex id."""
+    total function (every vertex labeled), component = min vertex id.
+
+    With a ``CheckpointManager``, the min-label variant writes its label
+    table every ``checkpoint_every`` rounds and a rerun resumes from the
+    newest stored round (labels are exact longs — bit-identical resume).
+    The star variant's state is the contracted edge set itself and is
+    checkpointed the same way."""
     spark = graph.vertices.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     vertices = graph.vertices.select("id")
     edges = _symmetrized(graph.edges).repartition(n_part, "src")
 
-    if algorithm == "star":
-        from lynxkite_spark.plans.checkpoint import materialize
+    from lynxkite_spark.plans.checkpoint import materialize, step_key
 
+    params = {"algorithm": algorithm, "max_iterations": max_iterations}
+    fp = input_fingerprint or "anon"
+
+    if algorithm == "star":
         e = materialize(edges)
+        start_iter = 0
+        if checkpoint is not None:
+            for k in range(max_iterations, 0, -1):
+                cached = checkpoint.load(step_key(fp, "cc", params, k))
+                if cached is not None:
+                    e = cached
+                    start_iter = k
+                    break
         prev_count = e.count()
-        for it in range(max_iterations):
+        for it in range(start_iter, max_iterations):
             # cut lineage every round — star contraction references e
             # multiple times per iteration (plan growth, see materialize)
             new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
@@ -107,6 +127,12 @@ def connected_components(
             if new_count == prev_count:
                 changed = new_e.exceptAll(e).limit(1).count()
             e, prev_count = new_e, new_count
+            if checkpoint is not None and (it + 1) % checkpoint_every == 0:
+                e = checkpoint.save(
+                    e,
+                    step_key(fp, "cc", params, it + 1),
+                    metrics={"iteration": it + 1, "edges": new_count},
+                )
             if changed == 0:
                 break
         labels = (
@@ -116,13 +142,18 @@ def connected_components(
             .select(F.col("src").alias("id"), "component")
         )
     else:  # minlabel
-        from lynxkite_spark.plans.checkpoint import materialize
-
-        labels = materialize(
-            vertices.select("id", F.col("id").alias("component")).repartition(n_part, "id")
-        )
+        labels = vertices.select("id", F.col("id").alias("component"))
+        start_iter = 0
+        if checkpoint is not None:
+            for k in range(max_iterations, 0, -1):
+                cached = checkpoint.load(step_key(fp, "cc", params, k))
+                if cached is not None:
+                    labels = cached
+                    start_iter = k
+                    break
+        labels = materialize(labels.repartition(n_part, "id"))
         edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-        for it in range(max_iterations):
+        for it in range(start_iter, max_iterations):
             nbr_min = (
                 edges.join(labels.hint("shuffle_hash"), edges.src == labels.id)
                 .groupBy("dst")
@@ -147,6 +178,12 @@ def connected_components(
                 .count()
             )
             labels = new_labels
+            if checkpoint is not None and (it + 1) % checkpoint_every == 0:
+                labels = checkpoint.save(
+                    labels,
+                    step_key(fp, "cc", params, it + 1),
+                    metrics={"iteration": it + 1, "changed": changed},
+                )
             if changed == 0:
                 break
         edges.unpersist()

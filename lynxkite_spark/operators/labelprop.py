@@ -28,8 +28,16 @@ def label_propagation(
     graph: Graph,
     max_iterations: int = 30,
     weighted: bool = False,
+    checkpoint=None,
+    checkpoint_every: int = 10,
+    input_fingerprint: str | None = None,
 ) -> DataFrame:
-    """Returns belongs_to: DataFrame[id: long, label: long]."""
+    """Returns belongs_to: DataFrame[id: long, label: long].
+
+    With a ``CheckpointManager`` the label table is written every
+    ``checkpoint_every`` rounds (per-partition lineage sidecar like
+    PageRank's) and a rerun resumes from the newest stored round —
+    labels are exact longs, so a resumed run is bit-identical."""
     spark = graph.vertices.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     g = graph.with_weight()
@@ -42,13 +50,22 @@ def label_propagation(
     sym = sym.repartition(n_part, "src").persist(StorageLevel.MEMORY_AND_DISK)
     sym.count()
 
-    from lynxkite_spark.plans.checkpoint import materialize
+    from lynxkite_spark.plans.checkpoint import materialize, step_key
 
-    labels = materialize(
-        graph.vertices.select("id", F.col("id").alias("label")).repartition(n_part, "id")
-    )
+    params = {"max_iterations": max_iterations, "weighted": weighted}
+    fp = input_fingerprint or "anon"
+    start_iter = 0
+    labels = graph.vertices.select("id", F.col("id").alias("label"))
+    if checkpoint is not None:
+        for k in range(max_iterations, 0, -1):
+            cached = checkpoint.load(step_key(fp, "lpa", params, k))
+            if cached is not None:
+                labels = cached
+                start_iter = k
+                break
+    labels = materialize(labels.repartition(n_part, "id"))
 
-    for it in range(max_iterations):
+    for it in range(start_iter, max_iterations):
         # gather neighbor labels onto dst; per-(dst,label) weight sums are
         # map-side combinable, so hub vertices don't skew the shuffle
         # hash-build the vertex-sized label table: the big edge stream is
@@ -77,6 +94,12 @@ def label_propagation(
             .count()
         )
         labels = new_labels
+        if checkpoint is not None and (it + 1) % checkpoint_every == 0:
+            labels = checkpoint.save(
+                labels,
+                step_key(fp, "lpa", params, it + 1),
+                metrics={"iteration": it + 1, "changed": changed},
+            )
         if changed == 0:
             break
     sym.unpersist()

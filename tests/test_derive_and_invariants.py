@@ -141,3 +141,65 @@ def test_builtin_extractor_matches_pandas_udf(spark):
     # and the builtin path really has no Python in the plan
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_lpa_and_cc_checkpoint_resume(spark, corpus, tmp_path):
+    """LPA and connected components resume from the newest stored round
+    exactly like PageRank (labels are longs — bit-identical resume)."""
+    import shutil
+
+    from lynxkite_spark.operators import connected_components, label_propagation
+    from lynxkite_spark.plans.checkpoint import (
+        CheckpointManager,
+        step_key,
+        table_fingerprint,
+    )
+
+    edges, _ = derive_repo_edges(corpus)
+    g = Graph.from_edges(edges)
+    fp = table_fingerprint(edges, ["src", "dst"])
+
+    cp = CheckpointManager(spark, str(tmp_path / "lpa_ckpt"))
+    full = {
+        r["id"]: r["label"]
+        for r in label_propagation(
+            g, max_iterations=6, checkpoint=cp, checkpoint_every=2, input_fingerprint=fp
+        ).collect()
+    }
+    params = {"max_iterations": 6, "weighted": False}
+    assert cp.exists(step_key(fp, "lpa", params, 2))
+    # drop the newest round, resume; exact longs -> bit-identical
+    for k in range(6, 2, -1):
+        key = step_key(fp, "lpa", params, k)
+        if cp.exists(key):
+            shutil.rmtree(str(tmp_path / "lpa_ckpt" / key))
+    resumed = {
+        r["id"]: r["label"]
+        for r in label_propagation(
+            g, max_iterations=6, checkpoint=cp, checkpoint_every=2, input_fingerprint=fp
+        ).collect()
+    }
+    assert resumed == full
+
+    cp2 = CheckpointManager(spark, str(tmp_path / "cc_ckpt"))
+    full_cc = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            g, algorithm="minlabel", max_iterations=8,
+            checkpoint=cp2, checkpoint_every=2, input_fingerprint=fp,
+        ).collect()
+    }
+    params_cc = {"algorithm": "minlabel", "max_iterations": 8}
+    assert cp2.exists(step_key(fp, "cc", params_cc, 2))
+    for k in range(8, 2, -1):
+        key = step_key(fp, "cc", params_cc, k)
+        if cp2.exists(key):
+            shutil.rmtree(str(tmp_path / "cc_ckpt" / key))
+    resumed_cc = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            g, algorithm="minlabel", max_iterations=8,
+            checkpoint=cp2, checkpoint_every=2, input_fingerprint=fp,
+        ).collect()
+    }
+    assert resumed_cc == full_cc

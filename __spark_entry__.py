@@ -506,6 +506,46 @@ def _louvain_oracle_sql(rounds: int = 6) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{rounds}"
 
 
+def _kpath_oracle_sql(k: int = 4, walks: int = 2) -> str:
+    """Unrolled k-path centrality (kpath.py semantics, portable hash):
+    self-avoiding walks stepping to the unvisited neighbor with the
+    max hash(walker, step, neighbor); visit counts per vertex."""
+    ctes = [
+        f"e AS MATERIALIZED ({_EDGES_SYM_SQL})",
+        "v AS (SELECT p_partkey AS id FROM part)",
+        f"""w0 AS (SELECT id * {walks} + g.w AS wid, id AS pos, [id] AS visited
+             FROM v CROSS JOIN (SELECT unnest(generate_series(0, {walks - 1})) AS w) g)""",
+    ]
+    for s in range(1, k + 1):
+        p = s - 1
+        h = (
+            f"CAST(('0x' || substr(md5(wid::VARCHAR || '_' || dst::VARCHAR"
+            f" || '|{s}'), 1, 15)) AS BIGINT)"
+        )
+        ctes.append(
+            f"""c{s} AS (SELECT w.wid, e.dst, w.visited
+               FROM w{p} w JOIN e ON w.pos = e.src
+               WHERE NOT list_contains(w.visited, e.dst))"""
+        )
+        ctes.append(
+            f"""p{s} AS (SELECT wid, dst, visited FROM (
+                 SELECT *, row_number() OVER (PARTITION BY wid
+                   ORDER BY {h} DESC, dst DESC) AS rn FROM c{s}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""w{s} AS MATERIALIZED (SELECT wid, dst AS pos,
+                 list_append(visited, dst) AS visited FROM p{s})"""
+        )
+    union = " UNION ALL ".join(f"SELECT dst FROM p{s}" for s in range(1, k + 1))
+    return f"""
+        WITH {",".join(ctes)},
+        allv AS ({union}),
+        cnt AS (SELECT dst AS id, count(*) AS n FROM allv GROUP BY dst)
+        SELECT v.id, CAST(coalesce(cnt.n, 0) AS BIGINT) AS kpath
+        FROM v LEFT JOIN cnt ON v.id = cnt.id
+    """
+
+
 def _brandes_ctes(k: int = 8, depth: int = 4) -> str:
     """Unrolled k-source Brandes (betweenness.py semantics) on the
     symmetric co-order graph: roots = the k smallest part ids; forward
@@ -719,6 +759,15 @@ def _q_average_distance(spark, sf_dir):
     return average_distance(g, max_distance=2).select(
         "id", F.round("average_distance", 6).alias("average_distance")
     )
+
+
+def _q_kpath(spark, sf_dir):
+    """K-path centrality: deterministic self-avoiding walks, portable
+    hash so the oracle replays every step."""
+    from lynxkite_spark.operators.kpath import kpath_centrality
+
+    g = _coorder_graph(spark, sf_dir, symmetric=True)
+    return kpath_centrality(g, k=4, walks_per_vertex=2, hash_fn="portable")
 
 
 def _q_betweenness(spark, sf_dir):
@@ -1156,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_katz_3iter": _q_katz,
         "graph_harmonic": _q_harmonic,
         "graph_average_distance": _q_average_distance,
+        "graph_kpath_centrality": _q_kpath,
         "graph_betweenness_8roots": _q_betweenness,
         "graph_closeness_8roots": _q_closeness,
         "graph_hyperball_harmonic": _q_hyperball_harmonic,
@@ -1286,6 +1336,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT und.a, und.b, coalesce(disp.d, 0) AS dispersion
             FROM und LEFT JOIN disp ON und.a = disp.a AND und.b = disp.b
         """,
+        "graph_kpath_centrality": _kpath_oracle_sql(4, 2),
         "graph_betweenness_8roots": _betweenness_oracle_sql(8, 4),
         "graph_closeness_8roots": _closeness_oracle_sql(8, 4),
         "graph_hyperball_harmonic": _hyperball_harmonic_oracle_sql(2),

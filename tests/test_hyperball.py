@@ -176,3 +176,28 @@ def test_closeness_exact_when_all_roots(spark):
     expected = closeness_oracle(vs, es)
     for v in vs:
         assert got[v] == pytest.approx(expected[v], abs=1e-9), v
+
+
+def test_kpath_centrality_deterministic_and_sane(spark):
+    from lynxkite_spark.operators.kpath import kpath_centrality
+
+    # path graph: middle vertices get visited more than endpoints
+    n = 9
+    v = spark.range(n).select("id")
+    e = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n - 1)], "src long, dst long, weight double"
+    )
+    g = Graph(vertices=v, edges=e)
+    a = {r["id"]: r["kpath"] for r in kpath_centrality(g, k=4, walks_per_vertex=2).collect()}
+    b = {r["id"]: r["kpath"] for r in kpath_centrality(g, k=4, walks_per_vertex=2).collect()}
+    assert a == b  # value-derived randomness: identical runs
+    assert sum(a.values()) > 0
+    mid = sum(a[i] for i in range(3, 6))
+    ends = a[0] + a[n - 1]
+    assert mid > ends
+    # portable hash path also runs and is deterministic
+    c = {
+        r["id"]: r["kpath"]
+        for r in kpath_centrality(g, k=4, walks_per_vertex=2, hash_fn="portable").collect()
+    }
+    assert set(c) == set(a) and sum(c.values()) > 0

@@ -107,6 +107,7 @@ def hyperball(
     hash_fn: str = "xxhash64",
     seed: int = 7,
     keep_rounds: bool = False,
+    early_stop: bool = False,
 ) -> DataFrame:
     """Run ``max_distance`` HyperBall rounds along edge direction
     (each vertex's ball accumulates the vertices that can REACH it —
@@ -114,7 +115,13 @@ def hyperball(
 
     Returns DataFrame[id, size, harmonic, sum_d] — approximate
     |coreachable ∩ ≤max_distance hops|, Σ 1/d and Σ d — or, with
-    ``keep_rounds``, DataFrame[id, t, e] of per-round estimates."""
+    ``keep_rounds``, DataFrame[id, t, e] of per-round estimates.
+
+    ``early_stop`` checks a cheap exact-integer signature of the
+    register state (row count + register sum) each round and stops once
+    the sketches are a fixed point — the sketch union is monotone, so
+    an unchanged signature means convergence (use for effective
+    diameter, where max_distance is a generous cap, not a target)."""
     e = (
         graph.edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
@@ -131,6 +138,10 @@ def hyperball(
         F.lit(0.0).alias("sum_d"),
     ).localCheckpoint(eager=True)
     rounds = [est.select("id", F.lit(0).alias("t"), "e")] if keep_rounds else None
+    sig = None
+    if early_stop:
+        r = state.agg(F.count(F.lit(1)), F.sum("reg")).first()
+        sig = (r[0], r[1])
     for t in range(1, max_distance + 1):
         msgs = e.join(
             state.select(F.col("id").alias("src"), "pos", "reg").hint("shuffle_hash"),
@@ -159,6 +170,12 @@ def hyperball(
         )
         if keep_rounds:
             rounds.append(est.select("id", F.lit(t).alias("t"), "e"))
+        if early_stop:
+            r = state.agg(F.count(F.lit(1)), F.sum("reg")).first()
+            new_sig = (r[0], r[1])
+            if new_sig == sig:
+                break
+            sig = new_sig
     e.unpersist()
     if keep_rounds:
         out = rounds[0]
@@ -208,11 +225,14 @@ def average_distance_approx(
 
 def neighborhood_function(
     graph: Graph, max_distance: int = 6, log2m: int = 6,
-    hash_fn: str = "xxhash64", seed: int = 7,
+    hash_fn: str = "xxhash64", seed: int = 7, early_stop: bool = False,
 ) -> DataFrame:
     """N(t) = Σ_v |B_t(v)| for t = 0..max_distance — the global
     neighborhood function (HyperANF). Returns DataFrame[t, nf]."""
-    rounds = hyperball(graph, max_distance, log2m, hash_fn, seed, keep_rounds=True)
+    rounds = hyperball(
+        graph, max_distance, log2m, hash_fn, seed,
+        keep_rounds=True, early_stop=early_stop,
+    )
     return rounds.groupBy("t").agg(F.sum("e").alias("nf")).orderBy("t")
 
 
@@ -223,8 +243,11 @@ def effective_diameter(
     """Effective diameter: the (interpolated) smallest t where the
     neighborhood function reaches ``q`` of its final value — the
     standard HyperANF scalar the reference surfaces via NetworKit
-    (networkit_compute_scalar.go:25-48 "EffectiveDiameter")."""
-    nf = neighborhood_function(graph, max_distance, log2m, hash_fn, seed).collect()
+    (networkit_compute_scalar.go:25-48 "EffectiveDiameter"). The round
+    cap is generous — the loop early-stops at sketch convergence."""
+    nf = neighborhood_function(
+        graph, max_distance, log2m, hash_fn, seed, early_stop=True
+    ).collect()
     if not nf:
         return 0.0
     values = [r["nf"] for r in sorted(nf, key=lambda r: r["t"])]

@@ -68,7 +68,9 @@ def approx_diameter(
     neighborhood function stops growing (within HLL noise) — the
     HyperANF diameter bound the reference's NetworKit "Diameter"
     estimate mode corresponds to."""
-    nf = neighborhood_function(graph, max_rounds, log2m, seed=seed).collect()
+    nf = neighborhood_function(
+        graph, max_rounds, log2m, seed=seed, early_stop=True
+    ).collect()
     values = [r["nf"] for r in sorted(nf, key=lambda r: r["t"])]
     for t in range(1, len(values)):
         if values[t] <= values[t - 1] * (1 + 1e-9):

@@ -78,3 +78,75 @@ def streaming_event_counts(
         .groupBy(F.window("ts", window), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
     )
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+):
+    """Custom STATEFUL streaming operator: per-user gap sessionization
+    with ``applyInPandasWithState`` — the streaming twin of
+    :func:`sessionize`. Per user the state holds (last event epoch,
+    session start epoch, events in session, sessions closed so far);
+    each micro-batch folds its events in timestamp order, emitting a row
+    per CLOSED session; the open session stays in state across batches
+    and is flushed on state timeout.
+
+    Scale shape: state is four longs per user key, partitioned by the
+    stream's groupBy — no per-key history is retained, so state size is
+    O(active users), not O(events)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = gap_minutes * 60
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            last, start, n, closed = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], closed + 1, start, last, n)],
+                columns=["user_id", "session_id", "start_ts", "end_ts", "n_events"],
+            )
+            return
+        ts = []
+        for pdf in pdfs:
+            ts.extend(int(t) for t in pdf["epoch"])
+        ts.sort()
+        if state.exists:
+            last, start, n, closed = state.get
+        else:
+            last, start, n, closed = None, None, 0, 0
+        out = []
+        for t in ts:
+            if last is not None and t - last > gap:
+                closed += 1
+                out.append((key[0], closed, start, last, n))
+                start, n = t, 0
+            if start is None:
+                start = t
+            n += 1
+            last = t
+        state.update((last, start, n, closed))
+        state.setTimeoutDuration(gap * 1000)
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_id", "start_ts", "end_ts", "n_events"]
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .withColumn("epoch", F.unix_timestamp("ts"))
+    )
+    return stream.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, session_id long, start_ts long, end_ts long, n_events long"
+        ),
+        stateStructType="last long, start long, n long, closed long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

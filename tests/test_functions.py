@@ -206,3 +206,49 @@ def test_connector_formats_routed_with_clear_error(spark):
         read_table(spark, "", format="neo4j", labels=":Person")
     with _pytest.raises(RuntimeError, match="bigquery connector not available"):
         read_table(spark, "proj.ds.tbl", format="bigquery")
+
+
+def test_multimodal_real_codecs(spark):
+    """PPM decode/resize and WAV decode/feature kernels are REAL numpy
+    code — round-trip and invariants checked without any codec lib."""
+    import numpy as np
+
+    from lynxkite_spark.functions.multimodal import (
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        media_features,
+        resize_images,
+        synth_media,
+    )
+
+    # PPM round-trip
+    img = (np.arange(12 * 8 * 3, dtype=np.uint8)).reshape(8, 12, 3)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+
+    media = synth_media(spark, n=30)
+    imgs = media.where(F.col("kind") == "image")
+    # distributed resize: every output payload is a valid PPM of the
+    # requested size
+    out = resize_images(imgs, width=4, height=4).collect()
+    assert len(out) == imgs.count()
+    for r in out:
+        arr = decode_ppm(bytes(r["payload"]))
+        assert arr.shape == (4, 4, 3)
+
+    # WAV decode: synth audio is a pure sine at 110+i Hz — RMS energy of
+    # a sine is ~0.707 * amplitude; check via the feature kernel
+    audio = media.where(F.col("kind") == "audio").first()
+    samples, rate = decode_wav(bytes(audio["payload"]))
+    assert rate == 8000 and samples.shape[1] == 1
+    f = media_features(bytes(audio["payload"]), "audio/wav", dim=8)
+    rms = f[:6]
+    expected = (12000 / 32768.0) * (2 ** -0.5)
+    assert all(abs(x - expected) < 0.05 for x in rms)
+    assert abs(f[7] - samples.shape[0] / rate) < 1e-6  # duration feature
+
+    # video payloads (no codec) fall back to the deterministic hash path
+    vid = media.where(F.col("kind") == "video").first()
+    a = media_features(bytes(vid["payload"]), "video/mp4", dim=16)
+    b = media_features(bytes(vid["payload"]), "video/mp4", dim=16)
+    assert (a == b).all()

@@ -223,6 +223,137 @@ def average_distance_approx(
     )
 
 
+def _neighbor_sketches(
+    graph: Graph, log2m: int, hash_fn: str, seed: int
+) -> tuple[DataFrame, DataFrame]:
+    """Per-vertex HLL sketch of the UNDIRECTED neighbor set N(v) in
+    sparse register form, plus the loop-free symmetric edge set."""
+    e0 = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    sym = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    init = _init_registers(
+        graph.vertices.select("id"), log2m, hash_fn, seed
+    )
+    sketches = (
+        sym.join(
+            init.select(F.col("id").alias("src"), "pos", "reg").hint("shuffle_hash"),
+            "src",
+        )
+        .groupBy(F.col("dst").alias("id"), "pos")
+        .agg(F.max("reg").alias("reg"))
+    )
+    return sketches, sym
+
+
+def approx_embeddedness(
+    graph: Graph, log2m: int = 8, hash_fn: str = "xxhash64", seed: int = 7
+) -> DataFrame:
+    """ApproxEmbeddedness (reference: ApproxEmbeddedness.scala via
+    spark_util/HLLUtils.scala:1-32 — HLL union/inclusion-exclusion):
+    per edge (u,v), |N(u) ∩ N(v)| ≈ |N(u)| + |N(v)| − |N(u) ∪ N(v)|,
+    every term an HLL estimate. The union sketch is the elementwise max
+    of the two endpoint sketches — computed columnar by unioning the
+    sparse register rows of both endpoints under the edge key and
+    max-reducing; no per-row Python. Returns [src, dst, embeddedness]
+    per original directed edge (the exact op's convention)."""
+    sketches, sym = _neighbor_sketches(graph, log2m, hash_fn, seed)
+    sketches = sketches.persist(StorageLevel.MEMORY_AND_DISK)
+    vertices = graph.vertices.select("id")
+    sizes = _estimates(sketches, vertices, log2m).select(
+        "id", F.col("e").alias("n_size")
+    )
+    edges = sym.where(F.col("src") < F.col("dst"))
+    # union sketch per edge: both endpoints' registers, max per position
+    eu = edges.join(
+        sketches.select(F.col("id").alias("src"), "pos", "reg").hint("shuffle_hash"),
+        "src",
+    ).select("src", "dst", "pos", "reg")
+    ev = edges.join(
+        sketches.select(F.col("id").alias("dst"), "pos", "reg").hint("shuffle_hash"),
+        "dst",
+    ).select("src", "dst", "pos", "reg")
+    union_regs = eu.unionByName(ev).groupBy("src", "dst", "pos").agg(
+        F.max("reg").alias("reg")
+    )
+    union_est = _estimates(
+        union_regs.select(
+            F.concat_ws("_", "src", "dst").alias("id"), "pos", "reg"
+        ),
+        union_regs.select(F.concat_ws("_", "src", "dst").alias("id")).distinct(),
+        log2m,
+    ).select(F.col("id").alias("_k"), F.col("e").alias("u_size"))
+    canon = (
+        edges.withColumn("_k", F.concat_ws("_", "src", "dst"))
+        .join(union_est, "_k")
+        .join(sizes.select(F.col("id").alias("src"), F.col("n_size").alias("su")), "src")
+        .join(sizes.select(F.col("id").alias("dst"), F.col("n_size").alias("sv")), "dst")
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.greatest(
+                F.col("su") + F.col("sv") - F.col("u_size"), F.lit(0.0)
+            ).alias("embeddedness"),
+        )
+    )
+    # score every ORIGINAL directed edge (exact op's convention)
+    orig = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    return orig.join(
+        canon,
+        (F.least(orig.src, orig.dst) == canon.a)
+        & (F.greatest(orig.src, orig.dst) == canon.b),
+    ).select("src", "dst", "embeddedness")
+
+
+def approx_clustering_coefficient(
+    graph: Graph, log2m: int = 8, hash_fn: str = "xxhash64", seed: int = 7
+) -> DataFrame:
+    """ApproxClusteringCoefficient (ApproxClusteringCoefficient.scala):
+    closed wedges at v = Σ over incident edges of the approximate
+    common-neighbor count, so cc(v) ≈ Σ_u approx_emb(v,u) /
+    (deg(v)·(deg(v)−1)); <2-neighbor vertices get 1.0 (the reference's
+    convention). Returns [id, clustering_coefficient]."""
+    emb = approx_embeddedness(graph, log2m, hash_fn, seed)
+    # one score per UNDIRECTED edge (a bundle with both orientations
+    # must not double-count the wedge sum)
+    canon = emb.select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+        "embeddedness",
+    ).dropDuplicates(["a", "b"])
+    per_vertex = (
+        canon.select(F.col("a").alias("id"), "embeddedness")
+        .unionByName(canon.select(F.col("b").alias("id"), "embeddedness"))
+        .groupBy("id")
+        .agg(F.sum("embeddedness").alias("closed"))
+    )
+    e0 = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    sym = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    return (
+        graph.vertices.select("id")
+        .join(deg, "id", "left")
+        .join(per_vertex, "id", "left")
+        .select(
+            "id",
+            F.when(F.coalesce("deg", F.lit(0)) < 2, F.lit(1.0))
+            .otherwise(
+                F.least(
+                    F.greatest(
+                        F.coalesce("closed", F.lit(0.0))
+                        / (F.col("deg") * (F.col("deg") - 1)),
+                        F.lit(0.0),
+                    ),
+                    F.lit(1.0),
+                )
+            )
+            .alias("clustering_coefficient"),
+        )
+    )
+
+
 def neighborhood_function(
     graph: Graph, max_distance: int = 6, log2m: int = 6,
     hash_fn: str = "xxhash64", seed: int = 7, early_stop: bool = False,

@@ -201,3 +201,47 @@ def test_kpath_centrality_deterministic_and_sane(spark):
         for r in kpath_centrality(g, k=4, walks_per_vertex=2, hash_fn="portable").collect()
     }
     assert set(c) == set(a) and sum(c.values()) > 0
+
+
+def test_approx_embeddedness_tracks_exact(spark):
+    from lynxkite_spark.operators.clustering import embeddedness
+    from lynxkite_spark.operators.hyperball import approx_embeddedness
+
+    g = _er_graph(spark, n=120, prob_mod=6)
+    exact = {
+        (r["src"], r["dst"]): r["embeddedness"] for r in embeddedness(g).collect()
+    }
+    approx = {
+        (r["src"], r["dst"]): r["embeddedness"]
+        for r in approx_embeddedness(g, log2m=8).collect()
+    }
+    assert set(approx) == set(exact)
+    tot_e = sum(exact.values())
+    tot_a = sum(approx.values())
+    assert tot_e > 0
+    assert abs(tot_a - tot_e) / tot_e < 0.25  # inclusion-exclusion noise
+    # errors per edge stay bounded relative to neighborhood size
+    big = [k for k, v in exact.items() if v >= 3]
+    close = sum(1 for k in big if abs(approx[k] - exact[k]) <= max(2.5, 0.6 * exact[k]))
+    assert close >= 0.8 * max(len(big), 1)
+
+
+def test_approx_clustering_tracks_exact(spark):
+    from lynxkite_spark.operators.clustering import clustering_coefficient
+    from lynxkite_spark.operators.hyperball import approx_clustering_coefficient
+
+    g = _er_graph(spark, n=120, prob_mod=6)
+    exact = {
+        r["id"]: r["clustering_coefficient"]
+        for r in clustering_coefficient(g).collect()
+    }
+    approx = {
+        r["id"]: r["clustering_coefficient"]
+        for r in approx_clustering_coefficient(g, log2m=8).collect()
+    }
+    assert set(approx) == set(exact)
+    n = len(exact)
+    mean_e = sum(exact.values()) / n
+    mean_a = sum(approx.values()) / n
+    assert abs(mean_a - mean_e) < 0.15
+    assert all(0.0 <= v <= 1.0 for v in approx.values())

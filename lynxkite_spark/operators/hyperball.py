@@ -95,7 +95,7 @@ def _estimates(state: DataFrame, vertices: DataFrame, log2m: int) -> DataFrame:
         (raw <= F.lit(2.5 * m)) & (v_zero > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
     ).otherwise(raw)
-    return vertices.join(per_v, "id", "left").select(
+    return vertices.join(per_v.hint("shuffle_hash"), "id", "left").select(
         "id", F.coalesce(est, F.lit(0.0)).alias("e")
     )
 

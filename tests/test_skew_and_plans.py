@@ -213,3 +213,29 @@ def test_kcore_hindex_has_no_raw_neighborhood_window(spark):
     # [3,2,2,9] -> sorted desc [9,3,2,2] -> h = 2; [1,5] -> h = 1
     got = {r["id"]: r["h"] for r in out.collect()}
     assert got == {1: 2, 2: 1}
+
+
+def test_hyperball_merge_is_hash_join_with_partial_agg(spark):
+    """The HyperBall register merge must hash-build the vertex-sized
+    sketch table (no per-round sort of the edge stream) and partial-
+    aggregate map-side before the exchange."""
+    from lynxkite_spark.operators.hyperball import _estimates, _init_registers
+
+    v = spark.range(500).select("id")
+    e = spark.createDataFrame(
+        [(i, (i * 7) % 500) for i in range(2000)], "src long, dst long"
+    )
+    state = _init_registers(v, 6, "xxhash64", 7)
+    msgs = e.join(
+        state.select(F.col("id").alias("src"), "pos", "reg").hint("shuffle_hash"),
+        "src",
+    ).select(F.col("dst").alias("id"), "pos", "reg")
+    merged = state.unionByName(msgs).groupBy("id", "pos").agg(
+        F.max("reg").alias("reg")
+    )
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan and "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    est = _estimates(merged, v, 6)
+    p2 = est._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in p2

@@ -198,11 +198,19 @@ def ngram_jaccard_pairs(
     threshold: float = 0.7,
     shingle_k: int = 3,
     candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs: |A∩B| via a shingle
     equi-join, |A∪B| = |A|+|B|−|A∩B|. With ``candidates`` given, only
     those pairs are scored (the LSH verify step); otherwise all pairs
     sharing ≥1 shingle are considered (small corpora only).
+
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    documents from the PAIRING join only (set sizes |A|,|B| keep them,
+    so the Jaccard denominator stays exact and scores can only
+    under-count by the rare overlap carried through stop-shingles):
+    the standard stop-shingle guard — one viral 3-gram shared by 1M
+    docs otherwise creates ~10^12 join rows.
     Returns DataFrame[a, b, jaccard] with a < b, jaccard ≥ threshold."""
     sh = df.select(
         F.col(id_col).alias("_id"),
@@ -221,9 +229,18 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(cand_ids, "_id", "left_semi")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    sh_pair = sh
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select("sh")
+        )
+        sh_pair = sh.join(rare, "sh", "left_semi")
     inter = (
-        sh.select(F.col("_id").alias("a"), "sh")
-        .join(sh.select(F.col("_id").alias("b"), "sh"), "sh")
+        sh_pair.select(F.col("_id").alias("a"), "sh")
+        .join(sh_pair.select(F.col("_id").alias("b"), "sh"), "sh")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))

@@ -252,3 +252,30 @@ def test_multimodal_real_codecs(spark):
     a = media_features(bytes(vid["payload"]), "video/mp4", dim=16)
     b = media_features(bytes(vid["payload"]), "video/mp4", dim=16)
     assert (a == b).all()
+
+
+def test_ngram_jaccard_stop_shingle_guard(spark):
+    """max_doc_freq prunes viral shingles from the pairwise join only:
+    near-dup pairs still found via their rare shingles; set sizes (the
+    denominator) stay exact."""
+    viral = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, f"{viral} unique{i} filler{i} words{i}") for i in range(20)]
+    rows.append((100, f"{viral} special shared tail goes here now"))
+    rows.append((101, f"{viral} special shared tail goes here today"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.4).collect()
+    }
+    pruned = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.1, max_doc_freq=5).collect()
+    }
+    assert (100, 101) in full and (100, 101) in pruned
+    # pruning under-counts: the numerator loses the viral shingles, the
+    # denominator stays exact, so pruned <= full for every pair
+    assert pruned[(100, 101)] <= full[(100, 101)] + 1e-12
+    # and the rare boundary shingles alone still surface the near-dup
+    # pair while pairs related ONLY through the viral prefix vanish
+    assert all(a == 100 or b == 101 or pruned[(a, b)] < full.get((a, b), 1.0)
+               for (a, b) in pruned)

@@ -1067,6 +1067,17 @@ def _q_sessionize(spark, sf_dir):
     )
 
 
+def _q_segment_event_sequence(spark, sf_dir):
+    """SegmentByEventSequence (ContinuousEventsSegmentGenerator): users
+    segmented by (time bucket, 2-event-type sequence)."""
+    from lynxkite_spark.operators.segmentation import segment_by_event_sequence
+
+    ev = _t(spark, sf_dir, "events")
+    return segment_by_event_sequence(
+        ev, sequence_length=2, time_window_step=3600.0, time_window_length=7200.0
+    )
+
+
 def _q_docs_exact_dedup(spark, sf_dir):
     return exact_duplicates(_t(spark, sf_dir, "documents"))
 
@@ -1230,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_lineitem": _q_rollup,
         "events_hourly_counts": _q_events_hourly,
         "events_sessionize": _q_sessionize,
+        "events_segment_by_sequence": _q_segment_event_sequence,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_token_count": _q_docs_token_count,
         "docs_quality_score": _q_docs_quality,
@@ -1574,6 +1586,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM flagged GROUP BY user_id
+        """,
+        "events_segment_by_sequence": """
+            WITH ev AS (
+              SELECT user_id AS person,
+                     CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) AS t,
+                     event_type AS loc, event_id AS tie
+              FROM events
+            ),
+            lagged AS (
+              SELECT *, CASE WHEN lag(loc) OVER w IS NULL
+                                  OR lag(loc) OVER w <> loc
+                             THEN 1 ELSE 0 END AS is_new
+              FROM ev WINDOW w AS (PARTITION BY person ORDER BY t, loc, tie)
+            ),
+            runs AS (
+              SELECT *, sum(is_new) OVER (PARTITION BY person
+                ORDER BY t, loc, tie ROWS UNBOUNDED PRECEDING) AS run
+              FROM lagged
+            ),
+            spans AS (
+              SELECT person, run, min(t) AS s, max(t) AS e, min(loc) AS loc
+              FROM runs GROUP BY person, run
+            ),
+            win AS (
+              SELECT person, s, e,
+                     loc || ',' || lead(loc, 1) OVER w2 AS locations,
+                     lead(e, 1) OVER w2 AS last_end,
+                     lead(loc, 1) OVER w2 AS complete
+              FROM spans WINDOW w2 AS (PARTITION BY person ORDER BY run)
+            ),
+            f AS (
+              SELECT person, locations,
+                     CAST(floor(greatest(s, last_end - 7200.0) / 3600.0) AS BIGINT) AS minb,
+                     CAST(floor(e / 3600.0) AS BIGINT) AS maxb
+              FROM win WHERE complete IS NOT NULL
+            )
+            SELECT DISTINCT person, g.b AS time_bucket, locations
+            FROM f, UNNEST(generate_series(minb, maxb)) AS g(b)
+            WHERE minb <= maxb
         """,
         "docs_exact_dedup": f"""
             SELECT doc_id,

@@ -103,3 +103,82 @@ def segment_by_interval(
     return vertices.where(F.col(attr).isNotNull()).select(
         "id", F.floor(F.col(attr) / F.lit(interval)).cast("long").alias(name)
     )
+
+
+def segment_by_event_sequence(
+    events: DataFrame,
+    person_col: str = "user_id",
+    time_col: str = "ts",
+    location_col: str = "event_type",
+    sequence_length: int = 2,
+    time_window_step: float = 3600.0,
+    time_window_length: float = 7200.0,
+) -> DataFrame:
+    """SegmentByEventSequence (reference: SegmentByEventSequence.scala,
+    ContinuousEventsSegmentGenerator): merge each person's consecutive
+    same-location events into spans, slide a ``sequence_length`` window
+    over the spans, and emit one segment per (time bucket, location
+    sequence) — buckets range from
+    floor(max(first.start, last.end − window_length)/step) to
+    floor(first.end/step).
+
+    The reference folds each person's full history in one closure; here
+    every step is columnar: run-length merge via lag + cumulative sum,
+    the sliding window via ``lead`` chains, bucket fan-out via
+    ``sequence``+``explode`` — all partitioned by person, no per-person
+    collect. Returns [person, time_bucket, locations] where locations
+    is the comma-joined location sequence."""
+    L = sequence_length
+    dtype = dict(events.dtypes).get(time_col, "")
+    if dtype.startswith("timestamp"):
+        # whole epoch seconds (UTC session), truncated like the DuckDB
+        # oracle's floor(epoch(ts))
+        t = F.unix_timestamp(F.col(time_col)).cast("double")
+    else:
+        t = F.col(time_col).cast("double")
+    ev = events.select(
+        F.col(person_col).alias("person"),
+        t.alias("t"),
+        F.col(location_col).cast("string").alias("loc"),
+        F.col(events.columns[0]).alias("_tie"),
+    )
+    w = W.partitionBy("person").orderBy("t", "loc", "_tie")
+    is_new = F.when(
+        F.lag("loc").over(w).isNull() | (F.lag("loc").over(w) != F.col("loc")), 1
+    ).otherwise(0)
+    runs = ev.withColumn(
+        "run", F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    spans = runs.groupBy("person", "run").agg(
+        F.min("t").alias("start"),
+        F.max("t").alias("end"),
+        F.first("loc").alias("loc"),
+    )
+    w2 = W.partitionBy("person").orderBy("run")
+    loc_chain = [F.col("loc")] + [F.lead("loc", i).over(w2) for i in range(1, L)]
+    windows = spans.select(
+        "person",
+        "start",
+        "end",
+        F.concat_ws(",", *loc_chain).alias("locations"),
+        (F.lead("end", L - 1).over(w2) if L > 1 else F.col("end")).alias("last_end"),
+        (F.lead("loc", L - 1).over(w2) if L > 1 else F.col("loc")).alias("_complete"),
+    ).where(F.col("_complete").isNotNull())
+    min_b = F.floor(
+        F.greatest(F.col("start"), F.col("last_end") - F.lit(time_window_length))
+        / F.lit(time_window_step)
+    )
+    max_b = F.floor(F.col("end") / F.lit(time_window_step))
+    return (
+        windows.select(
+            "person",
+            "locations",
+            F.explode(
+                F.when(min_b <= max_b, F.sequence(min_b, max_b)).otherwise(
+                    F.array().cast("array<bigint>")
+                )
+            ).alias("time_bucket"),
+        )
+        .select("person", "time_bucket", "locations")
+        .distinct()
+    )

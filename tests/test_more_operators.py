@@ -155,3 +155,54 @@ def test_louvain_improves_modularity_and_is_partition_invariant(spark):
     g2 = Graph(vertices=g.vertices.repartition(7), edges=g.edges.repartition(11))
     labels2 = _as_map(modular_clustering(g2), val="label")
     assert labels == labels2
+
+
+def test_segment_by_event_sequence_matches_reference_fold(spark):
+    """Columnar SegmentByEventSequence vs a literal Python port of the
+    reference's ContinuousEventsSegmentGenerator fold."""
+    import math
+
+    from lynxkite_spark.operators.segmentation import segment_by_event_sequence
+
+    rows = []
+    # person 1: A A B A with times inside/outside the window
+    data = {
+        1: [(0.0, "A"), (100.0, "A"), (3000.0, "B"), (9000.0, "A")],
+        2: [(500.0, "X"), (600.0, "Y"), (20000.0, "X")],
+        3: [(42.0, "Z")],
+    }
+    eid = 0
+    for p, evs in data.items():
+        for t, loc in evs:
+            rows.append((eid, p, float(t), loc))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts double, event_type string")
+
+    L, step, wlen = 2, 1000.0, 2500.0
+    got = {
+        (r["person"], r["time_bucket"], r["locations"])
+        for r in segment_by_event_sequence(
+            df, time_col="ts", sequence_length=L,
+            time_window_step=step, time_window_length=wlen,
+        ).collect()
+    }
+
+    expected = set()
+    for p, evs in data.items():
+        evs = sorted(evs)
+        # merge runs of equal location
+        spans = []
+        for t, loc in evs:
+            if spans and spans[-1][2] == loc:
+                spans[-1] = (spans[-1][0], t, loc)
+            else:
+                spans.append((t, t, loc))
+        for i in range(len(spans) - L + 1):
+            win = spans[i : i + L]
+            first, last = win[0], win[-1]
+            locs = ",".join(s[2] for s in win)
+            min_b = math.floor(max(first[0], last[1] - wlen) / step)
+            max_b = math.floor(first[1] / step)
+            for b in range(min_b, max_b + 1):
+                expected.add((p, b, locs))
+    assert got == expected

@@ -113,6 +113,7 @@ def segment_by_event_sequence(
     sequence_length: int = 2,
     time_window_step: float = 3600.0,
     time_window_length: float = 7200.0,
+    algorithm: str = "continuous",
 ) -> DataFrame:
     """SegmentByEventSequence (reference: SegmentByEventSequence.scala,
     ContinuousEventsSegmentGenerator): merge each person's consecutive
@@ -127,7 +128,19 @@ def segment_by_event_sequence(
     the sliding window via ``lead`` chains, bucket fan-out via
     ``sequence``+``explode`` — all partitioned by person, no per-person
     collect. Returns [person, time_bucket, locations] where locations
-    is the comma-joined location sequence."""
+    is the comma-joined location sequence.
+
+    ``algorithm="with-gaps"`` runs the reference's
+    EventsWithGapsSegmentGenerator instead: from every event, the
+    longest in-window suffix, then ALL order-preserving location
+    subsequences of length ``sequence_length`` — a combinatorial
+    per-person enumeration (like the reference's closure), so it runs
+    in ``applyInPandas`` per person."""
+    if algorithm == "with-gaps":
+        return _segment_with_gaps(
+            events, person_col, time_col, location_col,
+            sequence_length, time_window_step, time_window_length,
+        )
     L = sequence_length
     dtype = dict(events.dtypes).get(time_col, "")
     if dtype.startswith("timestamp"):
@@ -181,4 +194,57 @@ def segment_by_event_sequence(
         )
         .select("person", "time_bucket", "locations")
         .distinct()
+    )
+
+
+def _segment_with_gaps(
+    events: DataFrame,
+    person_col: str,
+    time_col: str,
+    location_col: str,
+    sequence_length: int,
+    time_window_step: float,
+    time_window_length: float,
+) -> DataFrame:
+    """EventsWithGapsSegmentGenerator (SegmentByEventSequence.scala:87-108):
+    literal port of the per-person fold, run per person group."""
+    from itertools import combinations
+
+    import pandas as pd
+
+    dtype = dict(events.dtypes).get(time_col, "")
+    t = (
+        F.unix_timestamp(F.col(time_col)).cast("double")
+        if dtype.startswith("timestamp")
+        else F.col(time_col).cast("double")
+    )
+    ev = events.select(
+        F.col(person_col).alias("person"),
+        t.alias("t"),
+        F.col(location_col).cast("string").alias("loc"),
+        F.col(events.columns[0]).alias("_tie"),
+    )
+    L, step, wlen = sequence_length, time_window_step, time_window_length
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "loc", "_tie"])
+        times = list(pdf["t"])
+        locs = list(pdf["loc"])
+        person = pdf["person"].iloc[0]
+        out = set()
+        for i in range(len(times)):
+            j = i
+            while j < len(times) and times[j] < times[i] + wlen:
+                j += 1
+            window = locs[i:j]
+            bucket = int((times[i] // step))
+            for idxs in combinations(range(len(window)), L):
+                out.add((bucket, ",".join(window[k] for k in idxs)))
+        return pd.DataFrame(
+            [(person, b, s) for b, s in sorted(out)],
+            columns=["person", "time_bucket", "locations"],
+        )
+
+    return ev.groupBy("person").applyInPandas(
+        fold, "person long, time_bucket long, locations string"
     )

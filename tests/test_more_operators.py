@@ -206,3 +206,34 @@ def test_segment_by_event_sequence_matches_reference_fold(spark):
             for b in range(min_b, max_b + 1):
                 expected.add((p, b, locs))
     assert got == expected
+
+
+def test_segment_by_event_sequence_with_gaps(spark):
+    """EventsWithGapsSegmentGenerator: all order-preserving location
+    pairs within each event's forward time window."""
+    from lynxkite_spark.operators.segmentation import segment_by_event_sequence
+
+    rows = [
+        (0, 1, 0.0, "A"),
+        (1, 1, 10.0, "B"),
+        (2, 1, 20.0, "C"),
+        (3, 1, 5000.0, "D"),
+        (4, 2, 0.0, "X"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts double, event_type string")
+    got = {
+        (r["person"], r["time_bucket"], r["locations"])
+        for r in segment_by_event_sequence(
+            df, time_col="ts", sequence_length=2,
+            time_window_step=1000.0, time_window_length=100.0,
+            algorithm="with-gaps",
+        ).collect()
+    }
+    # person 1, window 100s: from A -> [A,B,C]: AB, AC, BC; from B -> [B,C]:
+    # BC; from C -> [C]; from D -> [D]; all bucket 0 except D (bucket 5,
+    # no pair). person 2: single event, no pair.
+    assert got == {
+        (1, 0, "A,B"),
+        (1, 0, "A,C"),
+        (1, 0, "B,C"),
+    }

@@ -506,6 +506,86 @@ def _louvain_oracle_sql(rounds: int = 6) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{rounds}"
 
 
+def _fingerprinting_oracle_sql(rounds: int = 10) -> str:
+    """Unrolled Fingerprinting (fingerprinting.py semantics): the
+    degree-weighted Jaccard scoring as one full-outer aggregation
+    (scores rounded 9dp — both engines then rank identically), then
+    ``rounds`` stable-marriage rounds (customers propose)."""
+    ctes = [
+        """cand AS MATERIALIZED (
+            SELECT c_custkey AS l, s_suppkey AS r
+            FROM customer JOIN supplier ON c_nationkey = s_nationkey)""",
+        """le AS MATERIALIZED (
+            SELECT o_custkey AS src, l_partkey AS dst,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_custkey, l_partkey)""",
+        """re AS MATERIALIZED (
+            SELECT l_suppkey AS src, l_partkey AS dst,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM lineitem GROUP BY l_suppkey, l_partkey)""",
+        "ldeg AS (SELECT dst, sum(w) AS d FROM le GROUP BY dst)",
+        "rdeg AS (SELECT dst, sum(w) AS d FROM re GROUP BY dst)",
+        """pl AS (SELECT cand.l, cand.r, le.dst AS t, le.w AS lw, ldeg.d AS ld
+            FROM cand JOIN le ON cand.l = le.src JOIN ldeg ON le.dst = ldeg.dst)""",
+        """prr AS (SELECT cand.l, cand.r, re.dst AS t, re.w AS rw, rdeg.d AS rd
+            FROM cand JOIN re ON cand.r = re.src JOIN rdeg ON re.dst = rdeg.dst)""",
+        """bth AS (SELECT coalesce(pl.l, prr.l) AS l, coalesce(pl.r, prr.r) AS r,
+                   lw, ld, rw, rd
+            FROM pl FULL OUTER JOIN prr
+              ON pl.l = prr.l AND pl.r = prr.r AND pl.t = prr.t)""",
+        """scored AS (SELECT l, r,
+              sum(CASE WHEN lw IS NOT NULL AND rw IS NOT NULL THEN 1 ELSE 0 END)
+                AS common,
+              sum(least(coalesce(lw, 0.0), coalesce(rw, 0.0))
+                  * (((lw IS NOT NULL)::INT + (rw IS NOT NULL)::INT)
+                     / (coalesce(ld, 0.0) + coalesce(rd, 0.0)))) AS isect,
+              sum(greatest(coalesce(lw, 0.0), coalesce(rw, 0.0))
+                  * (((lw IS NOT NULL)::INT + (rw IS NOT NULL)::INT)
+                     / (coalesce(ld, 0.0) + coalesce(rd, 0.0)))) AS uni
+            FROM bth GROUP BY l, r)""",
+        """sims AS MATERIALIZED (
+            SELECT l, r, round(isect / (uni + 0.0), 9) AS sim
+            FROM scored WHERE common >= 1)""",
+        """pg AS MATERIALIZED (SELECT l AS g, r AS ld2,
+              row_number() OVER (PARTITION BY l ORDER BY sim DESC, r) AS rank
+            FROM sims)""",
+        """plad AS MATERIALIZED (SELECT r AS ld2, l AS g,
+              row_number() OVER (PARTITION BY r ORDER BY sim DESC, l) AS lrank
+            FROM sims)""",
+        "st0 AS (SELECT DISTINCT g, 1 AS ptr FROM pg)",
+    ]
+    for k in range(rounds):
+        n = k + 1
+        ctes.append(
+            f"""prp{k} AS MATERIALIZED (SELECT pg.g, pg.ld2
+               FROM st{k} s JOIN pg ON pg.g = s.g AND pg.rank = s.ptr)"""
+        )
+        ctes.append(
+            f"""rs{k} AS MATERIALIZED (SELECT ld2, g FROM (
+                 SELECT p.ld2, p.g,
+                        row_number() OVER (PARTITION BY p.ld2
+                          ORDER BY pl2.lrank) AS rn
+                 FROM prp{k} p JOIN plad pl2
+                   ON pl2.ld2 = p.ld2 AND pl2.g = p.g) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""st{n} AS MATERIALIZED (
+               SELECT s.g, s.ptr + CASE WHEN p.ld2 IS NOT NULL AND r.g IS NULL
+                                        THEN 1 ELSE 0 END AS ptr
+               FROM st{k} s LEFT JOIN prp{k} p ON s.g = p.g
+               LEFT JOIN rs{k} r ON r.g = s.g AND r.ld2 = p.ld2)"""
+        )
+    last = rounds - 1
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT rs.g AS "left", rs.ld2 AS "right", round(sims.sim, 6) AS similarity
+        FROM rs{last} rs JOIN sims ON sims.l = rs.g AND sims.r = rs.ld2
+        """
+    )
+
+
 def _kpath_oracle_sql(k: int = 4, walks: int = 2) -> str:
     """Unrolled k-path centrality (kpath.py semantics, portable hash):
     self-avoiding walks stepping to the unvisited neighbor with the
@@ -1078,6 +1158,34 @@ def _q_segment_event_sequence(spark, sf_dir):
     )
 
 
+def _q_fingerprinting(spark, sf_dir):
+    """Fingerprinting (structural entity matching): customers matched
+    1:1 to same-nation suppliers by their part-purchase neighborhoods —
+    degree-weighted Jaccard similarity + stable marriage. Scores are
+    rounded at the source (9dp) so both engines rank candidates
+    identically; 10 unrolled rounds cover the measured convergence (6)."""
+    from lynxkite_spark.operators.fingerprinting import fingerprinting
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cand = cust.join(supp, cust.c_nationkey == supp.s_nationkey).select(
+        F.col("c_custkey").alias("left"), F.col("s_suppkey").alias("right")
+    )
+    le = orders.join(li, orders.o_orderkey == li.l_orderkey).groupBy(
+        F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    re = li.groupBy(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    out = fingerprinting(
+        cand, le, re, min_overlap=1, propose_side="left",
+        score_round=9, max_iterations=10,
+    )
+    return out.select("left", "right", F.round("similarity", 6).alias("similarity"))
+
+
 def _q_docs_exact_dedup(spark, sf_dir):
     return exact_duplicates(_t(spark, sf_dir, "documents"))
 
@@ -1223,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_neighborhood_function": _q_neighborhood_function,
         "graph_assortativity": _q_assortativity,
         "graph_modular_clustering": _q_modular_clustering,
+        "graph_fingerprinting": _q_fingerprinting,
         "graph_max_cliques": _q_max_cliques,
         "graph_dispersion": _q_dispersion,
         "graph_merge_vertices": _q_merge_vertices,
@@ -1348,6 +1457,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT und.a, und.b, coalesce(disp.d, 0) AS dispersion
             FROM und LEFT JOIN disp ON und.a = disp.a AND und.b = disp.b
         """,
+        "graph_fingerprinting": _fingerprinting_oracle_sql(10),
         "graph_kpath_centrality": _kpath_oracle_sql(4, 2),
         "graph_betweenness_8roots": _betweenness_oracle_sql(8, 4),
         "graph_closeness_8roots": _closeness_oracle_sql(8, 4),

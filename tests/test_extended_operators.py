@@ -159,3 +159,27 @@ def test_ivf_topk_matches_exact_reasonably(spark):
     exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(embs, q, k=3).collect()}
     approx = {(r["query_id"], r["neighbor_id"]) for r in ivf_topk(embs, q, k=3, n_centroids=8, nprobe=4).collect()}
     assert len(exact & approx) / len(exact) >= 0.4
+
+
+def test_chung_lu_generator_tracks_degrees(spark):
+    """Chung-Lu: realized degrees correlate with requested expected
+    degrees; generation is deterministic at any parallelism."""
+    from pyspark.sql import functions as F
+
+    from lynxkite_spark.operators.generators import chung_lu
+
+    degrees = spark.createDataFrame(
+        [(i, 2 + (i % 20)) for i in range(300)], "id long, degree long"
+    )
+    g = chung_lu(spark, degrees, seed=7)
+    e1 = sorted((r["src"], r["dst"]) for r in g.edges.collect())
+    g2 = chung_lu(spark, degrees.repartition(13), seed=7)
+    e2 = sorted((r["src"], r["dst"]) for r in g2.edges.collect())
+    assert e1 == e2  # partition-invariant
+    out_deg = {r["src"]: r["n"] for r in g.edges.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    want = {r["id"]: r["degree"] for r in degrees.collect()}
+    hi = [v for v, w in want.items() if w >= 18]
+    lo = [v for v, w in want.items() if w <= 4]
+    avg_hi = sum(out_deg.get(v, 0) for v in hi) / len(hi)
+    avg_lo = sum(out_deg.get(v, 0) for v in lo) / len(lo)
+    assert avg_hi > 2 * avg_lo

@@ -1097,6 +1097,56 @@ def _q_tpch_q5ish(spark, sf_dir):
     """)
 
 
+def _q_tpch_q4(spark, sf_dir):
+    """Order-priority checking: EXISTS semi-join (TPC-H Q4 shape)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= date '1996-07-01'
+          AND o_orderdate < date '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """)
+
+
+def _q_tpch_q6(spark, sf_dir):
+    """Forecasting revenue change: pure filter + aggregate (TPC-H Q6)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT round(sum(round(l_extendedprice * l_discount * 10000)) / 10000, 2)
+                 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= date '1996-01-01'
+          AND l_shipdate < date '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """)
+
+
+def _q_tpch_q10(spark, sf_dir):
+    """Returned-item reporting (TPC-H Q10 shape): revenue per customer
+    over returned lineitems."""
+    for t in ["customer", "orders", "lineitem", "nation"]:
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT c.c_custkey AS custkey, n.n_name AS nation,
+               round(sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)) / 100, 2)
+                 AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= date '1996-10-01'
+          AND o.o_orderdate < date '1997-01-01'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, n.n_name
+    """)
+
+
 def _q_window_top2(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -1345,7 +1395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_to_segmentation": _q_agg_segmentation,
         "tpch_q1_pricing_summary": _q_tpch_q1,
         "tpch_q3_shipping_priority": _q_tpch_q3,
+        "tpch_q4_order_priority": _q_tpch_q4,
         "tpch_q5_local_supplier": _q_tpch_q5ish,
+        "tpch_q6_forecast_revenue": _q_tpch_q6,
+        "tpch_q10_returned_items": _q_tpch_q10,
         "window_top2_orders_per_customer": _q_window_top2,
         "rollup_lineitem": _q_rollup,
         "events_hourly_counts": _q_events_hourly,
@@ -1664,6 +1717,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             WHERE r.r_name = 'ASIA'
             GROUP BY n.n_name
+        """,
+        "tpch_q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= date '1996-07-01'
+              AND o_orderdate < date '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q6_forecast_revenue": """
+            SELECT round(sum(round(l_extendedprice * l_discount * 10000)) / 10000, 2)
+                     AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= date '1996-01-01'
+              AND l_shipdate < date '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q10_returned_items": """
+            SELECT c.c_custkey AS custkey, n.n_name AS nation,
+                   round(sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)) / 100, 2)
+                     AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= date '1996-10-01'
+              AND o.o_orderdate < date '1997-01-01'
+              AND l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, n.n_name
         """,
         "window_top2_orders_per_customer": """
             SELECT o_custkey AS custkey, o_orderkey AS orderkey,

@@ -1283,6 +1283,38 @@ def _q_docs_lang(spark, sf_dir):
     return d.select("doc_id", pred.alias("lang_pred"))
 
 
+def _q_docs_lang_confusion(spark, sf_dir):
+    """Language-ID evaluation against the gold ``lang`` column:
+    confusion counts (gold, predicted, n) — the pipeline-quality query
+    a corpus curator actually runs."""
+    d = _t(spark, sf_dir, "documents")
+    pred = _q_docs_lang(spark, sf_dir).select(
+        "doc_id", F.col("lang_pred")
+    )
+    return (
+        d.select("doc_id", F.col("lang").alias("lang_gold"))
+        .join(pred, "doc_id")
+        .groupBy("lang_gold", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_docs_source_stats(spark, sf_dir):
+    """Per-source corpus profile: doc count, avg length, exact-duplicate
+    rate (dedup joined back to the source dimension)."""
+    d = _t(spark, sf_dir, "documents")
+    dup = exact_duplicates(d).select("doc_id", "is_duplicate")
+    return (
+        d.join(dup, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.sum(F.col("is_duplicate").cast("long")).alias("n_dups"),
+        )
+    )
+
+
 def _q_docs_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
@@ -1409,6 +1441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_score": _q_docs_quality,
         "docs_language_id": _q_docs_lang,
         "docs_fingerprint": _q_docs_fingerprint,
+        "docs_language_confusion": _q_docs_lang_confusion,
+        "docs_source_stats": _q_docs_source_stats,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "docs_minhash_dedup": _q_docs_minhash,
         "docs_simhash": _q_docs_simhash,
@@ -1844,6 +1878,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "docs_language_id": _lang_oracle_sql(),
+        "docs_language_confusion": f"""
+            WITH pred AS ({_lang_oracle_sql()})
+            SELECT d.lang AS lang_gold, pred.lang_pred, count(*) AS n
+            FROM documents d JOIN pred ON d.doc_id = pred.doc_id
+            GROUP BY d.lang, pred.lang_pred
+        """,
+        "docs_source_stats": f"""
+            WITH dup AS (
+              SELECT doc_id,
+                     doc_id <> min(doc_id) OVER (PARTITION BY {_NORM_TEXT})
+                       AS is_duplicate
+              FROM documents
+            )
+            SELECT d.source, count(*) AS n_docs,
+                   round(avg(d.n_chars), 6) AS avg_chars,
+                   sum(CASE WHEN dup.is_duplicate THEN 1 ELSE 0 END) AS n_dups
+            FROM documents d JOIN dup ON d.doc_id = dup.doc_id
+            GROUP BY d.source
+        """,
         "docs_fingerprint": f"""
             SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents
         """,

@@ -171,3 +171,56 @@ def filter_vertices(df: DataFrame, **specs: str) -> DataFrame:
 def filter_by_table(df: DataFrame, keys: DataFrame, on: str = "id", keep: bool = True) -> DataFrame:
     """FilterByTable.scala — semi/anti join filter."""
     return df.join(keys, on, "left_semi" if keep else "left_anti")
+
+
+def derive(
+    df: DataFrame,
+    name: str,
+    expr: str,
+    only_on_defined: bool = True,
+    inputs: list[str] | None = None,
+) -> DataFrame:
+    """DeriveScala.scala analog: derive a new attribute from a SQL
+    expression over existing attributes — the expression compiles into
+    whole-stage codegen, the direct equivalent of the reference
+    compiling Scala against typed attributes.
+
+    ``only_on_defined`` mirrors DeriveScala.scala:37-44: when True the
+    result is null (undefined) wherever any referenced input is null;
+    ``inputs`` lists the referenced columns (defaults to every column
+    mentioned in the expression that exists on the DataFrame)."""
+    col = F.expr(expr)
+    if only_on_defined:
+        import re as _re
+
+        deps = inputs
+        if deps is None:
+            tokens = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", expr))
+            deps = [c for c in df.columns if c in tokens]
+        if deps:
+            defined = F.lit(True)
+            for d in deps:
+                defined = defined & F.col(d).isNotNull()
+            col = F.when(defined, col)
+    return df.withColumn(name, col)
+
+
+def derive_python(
+    df: DataFrame,
+    name: str,
+    fn,
+    input_cols: list[str],
+    return_type: str = "double",
+    only_on_defined: bool = True,
+) -> DataFrame:
+    """DerivePython analog (the reference ships rows to a Python
+    subprocess via Sphynx; here the function is an Arrow-vectorized
+    pandas UDF over typed Series — batched, never per-row)."""
+    udf = F.pandas_udf(fn, return_type)
+    col = udf(*[F.col(c) for c in input_cols])
+    if only_on_defined and input_cols:
+        defined = F.lit(True)
+        for d in input_cols:
+            defined = defined & F.col(d).isNotNull()
+        col = F.when(defined, col)
+    return df.withColumn(name, col)

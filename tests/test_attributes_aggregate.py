@@ -142,3 +142,33 @@ def test_aggregator_catalog_tail(spark):
     assert got[1]["hi"] == [3.0, 20.0]
     assert sorted(got[1]["cat"]) == [1.0, 3.0, 10.0, 20.0]
     assert got[2]["s"] == [5.0, 5.0] == got[2]["a"] == got[2]["lo"] == got[2]["hi"]
+
+
+def test_derive_expression_and_python(spark):
+    """DeriveScala/DerivePython analogs: SQL-expression and pandas-UDF
+    derives with the reference's only-on-defined null semantics."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lynxkite_spark.operators.attributes import derive, derive_python
+
+    df = spark.createDataFrame(
+        [(1, 2.0, 3.0), (2, None, 5.0), (3, 4.0, None)],
+        "id long, a double, b double",
+    )
+    out = {r["id"]: r["s"] for r in derive(df, "s", "a + b").collect()}
+    assert out == {1: 5.0, 2: None, 3: None}  # undefined inputs -> undefined
+    out2 = {r["id"]: r["s"] for r in derive(df, "s", "coalesce(a, 0) + b", only_on_defined=False).collect()}
+    assert out2[2] == 5.0
+
+    def hyp(a: pd.Series, b: pd.Series) -> pd.Series:
+        return (a**2 + b**2) ** 0.5
+
+    out3 = {
+        r["id"]: r["h"]
+        for r in derive_python(df, "h", hyp, ["a", "b"]).collect()
+    }
+    assert abs(out3[1] - (4 + 9) ** 0.5) < 1e-12
+    assert out3[2] is None and out3[3] is None
+    plan = derive_python(df, "h", hyp, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan  # vectorized, not BatchEvalPython

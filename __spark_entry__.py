@@ -1236,6 +1236,20 @@ def _q_fingerprinting(spark, sf_dir):
     return out.select("left", "right", F.round("similarity", 6).alias("similarity"))
 
 
+def _q_events_json_props(spark, sf_dir):
+    """Semi-structured extraction: pull the k field out of the JSON
+    props column and aggregate per event type — the Spark-side
+    get_json_object path a log pipeline uses."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
 def _q_docs_exact_dedup(spark, sf_dir):
     return exact_duplicates(_t(spark, sf_dir, "documents"))
 
@@ -1436,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_counts": _q_events_hourly,
         "events_sessionize": _q_sessionize,
         "events_segment_by_sequence": _q_segment_event_sequence,
+        "events_json_props": _q_events_json_props,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_token_count": _q_docs_token_count,
         "docs_quality_score": _q_docs_quality,
@@ -1815,6 +1830,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM flagged GROUP BY user_id
+        """,
+        "events_json_props": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
         """,
         "events_segment_by_sequence": """
             WITH ev AS (

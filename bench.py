@@ -145,6 +145,17 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     t0 = time.time()
     hyperball(g_canon, max_distance=4, log2m=6).count()
     times["q_hyperball_4hops"] = round(time.time() - t0, 3)
+
+    from lynxkite_spark.operators.betweenness import betweenness_centrality
+    from lynxkite_spark.operators.kcore import core_decomposition
+
+    t0 = time.time()
+    core_decomposition(g_canon, max_iterations=24).count()
+    times["q_kcore_24rounds"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    betweenness_centrality(g_canon, k=8, max_depth=4).count()
+    times["q_betweenness_8roots"] = round(time.time() - t0, 3)
     return times, extra
 
 

@@ -149,9 +149,11 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     from lynxkite_spark.operators.betweenness import betweenness_centrality
     from lynxkite_spark.operators.kcore import core_decomposition
 
+    # fixed 8 rounds: a throughput probe (per-round cost), not a
+    # convergence run — keeps the suite wall bounded on noisy hosts
     t0 = time.time()
-    core_decomposition(g_canon, max_iterations=24).count()
-    times["q_kcore_24rounds"] = round(time.time() - t0, 3)
+    core_decomposition(g_canon, max_iterations=8).count()
+    times["q_kcore_8rounds"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     betweenness_centrality(g_canon, k=8, max_depth=4).count()

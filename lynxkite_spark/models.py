@@ -1,0 +1,346 @@
+"""Model train/apply family, re-expressing the reference's pyspark.ml
+operators Spark-first:
+
+  * ``train_kmeans``            — KMeansClusteringModelTrainer.scala:1
+  * ``train_logistic_regression`` — LogisticRegressionModelTrainer.scala:1
+    (including the z-value / Wald statistics computed on a bounded
+    sample, LogisticRegressionModelTrainer.scala:36-70)
+  * ``train_decision_tree``     — TrainDecisionTreeClassifier.scala:1
+  * ``predict_from_model``      — PredictFromModel.scala:1
+  * ``classify_with_model``     — ClassifyWithModel.scala:1 (classification
+    plus certainty = max class probability when the model produces one)
+  * ``lloyd_kmeans``            — engine-native deterministic k-means on
+    quantized integer coordinates: every sum is exact, so results are
+    bit-reproducible across engines and runs (the correctness-gate path;
+    pyspark.ml's kmeans|| init is sampling-based and not replayable in
+    SQL).
+
+Feature handling mirrors Model.toDoubleRDD (Model.scala:278-290): double
+columns pass through; string columns are label-encoded by their sorted
+distinct values and marked nominal so tree learners treat them as
+categorical.
+
+Scale shape: training is delegated to Spark MLlib's distributed
+implementations; apply/classify are single ``model.transform`` passes
+(no Python in the row path).  ``lloyd_kmeans`` broadcasts the k
+centroids and does one map-side-combinable aggregation per iteration —
+the same plan a 1000-executor run wants.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class TrainedModel:
+    """A trained model plus the metadata the reference keeps on its
+    Model scalar (Model.scala:29-60)."""
+
+    method: str
+    model: Any
+    feature_names: list[str]
+    label_name: str | None = None
+    statistics: dict = field(default_factory=dict)
+    string_mappings: dict[str, dict[str, float]] = field(default_factory=dict)
+
+
+def _encode_features(
+    df: DataFrame,
+    feature_cols: list[str],
+    existing_mappings: dict[str, dict[str, float]] | None = None,
+) -> tuple[DataFrame, dict[str, dict[str, float]]]:
+    """Label-encode string feature columns by sorted distinct value
+    (Model.toDoubleRDD semantics) and cast everything to double."""
+    mappings: dict[str, dict[str, float]] = {}
+    for c in feature_cols:
+        if dict(df.dtypes)[c] == "string":
+            if existing_mappings and c in existing_mappings:
+                mapping = existing_mappings[c]
+            else:
+                vals = sorted(
+                    r[0] for r in df.select(c).distinct().collect() if r[0] is not None
+                )
+                mapping = {v: float(i) for i, v in enumerate(vals)}
+            mappings[c] = mapping
+            expr = F.lit(None).cast("double")
+            for v, i in mapping.items():
+                expr = F.when(F.col(c) == v, F.lit(i)).otherwise(expr)
+            df = df.withColumn(c, expr)
+        else:
+            df = df.withColumn(c, F.col(c).cast("double"))
+    return df, mappings
+
+
+def _assemble(
+    df: DataFrame,
+    feature_cols: list[str],
+    id_col: str,
+    label_col: str | None = None,
+    mappings: dict[str, dict[str, float]] | None = None,
+) -> tuple[DataFrame, dict[str, dict[str, float]]]:
+    from pyspark.ml.feature import VectorAssembler
+
+    df, out_mappings = _encode_features(df, feature_cols, mappings)
+    cols = [F.col(id_col).alias("id")] + [F.col(c) for c in feature_cols]
+    if label_col is not None:
+        cols.append(F.col(label_col).cast("double").alias("label"))
+    prepared = df.select(*cols).na.drop(subset=feature_cols)
+    assembled = VectorAssembler(
+        inputCols=feature_cols, outputCol="features"
+    ).transform(prepared)
+    return assembled, out_mappings
+
+
+def train_kmeans(
+    df: DataFrame,
+    feature_cols: list[str],
+    k: int,
+    max_iterations: int = 20,
+    seed: int = 1000,
+    id_col: str = "id",
+) -> TrainedModel:
+    """KMeansClusteringModelTrainer.scala:55-66: tol=0 so convergence is
+    governed purely by max_iterations; statistics carries the training
+    cost."""
+    from pyspark.ml.clustering import KMeans
+
+    assembled, mappings = _assemble(df, feature_cols, id_col)
+    if assembled.rdd.isEmpty():
+        raise ValueError("Training is not possible with empty data set.")
+    kmeans = KMeans(
+        k=k, maxIter=max_iterations, tol=0.0, seed=seed,
+        featuresCol="features", predictionCol="classification",
+    )
+    model = kmeans.fit(assembled)
+    return TrainedModel(
+        method="KMeans clustering",
+        model=model,
+        feature_names=feature_cols,
+        statistics={"cost": model.summary.trainingCost},
+        string_mappings=mappings,
+    )
+
+
+def _z_values(model, predictions: DataFrame, sample_size: int = 100_000) -> list[float]:
+    """Wald z-statistics of the fitted coefficients, computed on a
+    bounded deterministic sample exactly like
+    LogisticRegressionModelTrainer.computeZValues: the covariance is
+    inv(Xᵀ V X) with V = diag(p(1-p))."""
+    import math
+
+    import numpy as np
+
+    coefs = list(model.coefficients.toArray()) + [model.intercept]
+    n = predictions.count()
+    label_sum = predictions.agg(F.sum("label")).first()[0] or 0.0
+    k = len(coefs) - 1
+    if label_sum == 0.0:
+        return [0.0] * k + [-math.inf]
+    if label_sum == n:
+        return [0.0] * k + [math.inf]
+    fraction = min(sample_size / n, 1.0)
+    sample = predictions.sample(
+        withReplacement=False, fraction=fraction, seed=23948720934
+    ).select("features", "probability").collect()
+    X = np.array([list(r["features"]) + [1.0] for r in sample])
+    v = np.array([r["probability"][0] * r["probability"][1] for r in sample])
+    cov = np.linalg.inv(X.T @ (X * v[:, None]))
+    stderr = np.sqrt(np.diag(cov))
+    return [c / s for c, s in zip(coefs, stderr)]
+
+
+def train_logistic_regression(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    max_iterations: int = 20,
+    elastic_net_param: float = 0.0,
+    reg_param: float = 0.0,
+    id_col: str = "id",
+) -> TrainedModel:
+    """Binary logistic regression
+    (LogisticRegressionModelTrainer.scala:74-120); statistics carries
+    the per-coefficient z-values."""
+    from pyspark.ml.classification import LogisticRegression
+
+    assembled, mappings = _assemble(df, feature_cols, id_col, label_col)
+    lr = LogisticRegression(
+        maxIter=max_iterations, elasticNetParam=elastic_net_param,
+        regParam=reg_param, featuresCol="features", labelCol="label",
+    )
+    model = lr.fit(assembled)
+    predictions = model.transform(assembled)
+    return TrainedModel(
+        method="Logistic regression",
+        model=model,
+        feature_names=feature_cols,
+        label_name=label_col,
+        statistics={"z_values": _z_values(model, predictions)},
+        string_mappings=mappings,
+    )
+
+
+def train_decision_tree(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    impurity: str = "gini",
+    max_bins: int = 32,
+    max_depth: int = 5,
+    min_info_gain: float = 0.0,
+    min_instances_per_node: int = 1,
+    seed: int = 1234,
+    id_col: str = "id",
+) -> TrainedModel:
+    """TrainDecisionTreeClassifier.scala:44-60; string labels are
+    encoded by sorted distinct value like features, and the trained
+    model keeps support/accuracy statistics mirroring the reference's
+    model statistics output."""
+    from pyspark.ml.classification import DecisionTreeClassifier
+
+    label_mapping: dict[str, dict[str, float]] = {}
+    if dict(df.dtypes)[label_col] == "string":
+        df, label_mapping = _encode_features(df, [label_col])
+    assembled, mappings = _assemble(df, feature_cols, id_col, label_col)
+    dt = DecisionTreeClassifier(
+        impurity=impurity, maxBins=max_bins, maxDepth=max_depth,
+        minInfoGain=min_info_gain, minInstancesPerNode=min_instances_per_node,
+        seed=seed, featuresCol="features", labelCol="label",
+    )
+    model = dt.fit(assembled)
+    pred = model.transform(assembled)
+    correct = pred.where(F.col("prediction") == F.col("label")).count()
+    total = pred.count()
+    return TrainedModel(
+        method="Decision tree classification",
+        model=model,
+        feature_names=feature_cols,
+        label_name=label_col,
+        statistics={
+            "accuracy": correct / max(total, 1),
+            "depth": model.depth,
+            "nodes": model.numNodes,
+        },
+        string_mappings={**mappings, **label_mapping},
+    )
+
+
+def predict_from_model(
+    trained: TrainedModel,
+    df: DataFrame,
+    id_col: str = "id",
+) -> DataFrame:
+    """PredictFromModel.scala:29-50: apply a (regression-shaped) model,
+    return DataFrame[id, prediction]."""
+    assembled, _ = _assemble(
+        df, trained.feature_names, id_col, mappings=trained.string_mappings
+    )
+    out = trained.model.transform(assembled)
+    pred_col = "classification" if "classification" in out.columns else "prediction"
+    return out.select("id", F.col(pred_col).cast("double").alias("prediction"))
+
+
+def classify_with_model(
+    trained: TrainedModel,
+    df: DataFrame,
+    id_col: str = "id",
+) -> DataFrame:
+    """ClassifyWithModel.scala:73-95: classification plus certainty =
+    max class probability when the model generates probabilities."""
+    assembled, _ = _assemble(
+        df, trained.feature_names, id_col, mappings=trained.string_mappings
+    )
+    out = trained.model.transform(assembled)
+    pred_col = "classification" if "classification" in out.columns else "prediction"
+    cols = ["id", F.col(pred_col).cast("double").alias("classification")]
+    if "probability" in out.columns:
+        from pyspark.ml.functions import vector_to_array
+
+        cols.append(
+            F.array_max(vector_to_array(F.col("probability"))).alias("certainty")
+        )
+    return out.select(*cols)
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iterations: int = 3,
+    quantize: int = 100,
+) -> DataFrame:
+    """Deterministic k-means for the correctness gate and for
+    reproducible pipelines: coordinates are quantized to integers
+    (floor(x*quantize + 0.5) — floor is exact in every engine, unlike
+    round's half-up/half-even split), centroids are kept as exact
+    integer (sum-vector, count) pairs, and the assignment distance is
+    Σ(x·n − S)² / n² where the numerator is an exact int64 sum — so no
+    floating-point summation order anywhere can flip an assignment, and
+    a SQL unroll reproduces the result hash-identically.
+
+    Init: centroid c = the point with id_col == c (c in 0..k-1).
+    Returns DataFrame[cluster, size, s0] — cluster id, member count,
+    and the (quantized, exact) first-coordinate sum.
+
+    Scale shape: centroids are a k-row broadcast; each iteration is one
+    broadcast join + one map-side-combinable aggregation over the
+    posexploded coordinates.  Production (sampling-init, float) k-means
+    is ``train_kmeans``."""
+    pts = df.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda v: F.floor(v * quantize + F.lit(0.5)).cast("long"),
+            )
+        ).alias("i", "x"),
+    )
+    # centroid state: (cid, i, s) sums + (cid, n) counts
+    cent = pts.where(F.col("vid") < k).select(
+        F.col("vid").alias("cid"), "i", F.col("x").alias("s")
+    )
+    cnt = cent.select("cid").distinct().select("cid", F.lit(1).alias("n"))
+    for _ in range(iterations):
+        d = (
+            pts.join(F.broadcast(cent), "i")
+            .join(F.broadcast(cnt), "cid")
+            .groupBy("vid", "cid", "n")
+            .agg(
+                F.sum(
+                    (F.col("x") * F.col("n") - F.col("s"))
+                    * (F.col("x") * F.col("n") - F.col("s"))
+                ).alias("dnum")
+            )
+            .select(
+                "vid", "cid",
+                (F.col("dnum").cast("double")
+                 / (F.col("n") * F.col("n")).cast("double")).alias("dist"),
+            )
+        )
+        assign = (
+            d.groupBy("vid")
+            .agg(F.min(F.struct("dist", "cid")).alias("best"))
+            .select("vid", F.col("best.cid").alias("cid"))
+        )
+        cent = (
+            pts.join(assign, "vid")
+            .groupBy("cid", "i")
+            .agg(F.sum("x").alias("s"))
+        )
+        cnt = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+        cent = cent.localCheckpoint(eager=False)
+        cnt = cnt.localCheckpoint(eager=False)
+    return (
+        cnt.join(cent.where(F.col("i") == 0), "cid")
+        .select(
+            F.col("cid").cast("long").alias("cluster"),
+            F.col("n").cast("long").alias("size"),
+            F.col("s").alias("s0"),
+        )
+    )

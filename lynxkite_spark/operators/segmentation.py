@@ -71,6 +71,30 @@ def segmentation_sizes(belongs_to: DataFrame) -> DataFrame:
     return belongs_to.groupBy("segment").agg(F.count(F.lit(1)).alias("size"))
 
 
+def segment_by_vector_attribute(
+    vertices: DataFrame, attr: str, id_col: str = "id"
+) -> tuple[DataFrame, DataFrame]:
+    """SegmentByVectorAttribute.scala:43-59 — one segment per distinct
+    element value of a vector (array) attribute; each vertex links to
+    the segment of every element occurrence (the reference's
+    ``flatMapValues(v => v)`` keeps multiplicity, so a repeated element
+    yields parallel belongs-to edges).
+
+    Segments are keyed by the element value itself (the reference's
+    Bucketing assigns synthetic ids but labels each segment with the
+    value — value-as-key is the partition-invariant form of that).
+    Returns (segments[segment, size], belongs_to[id, segment]).
+
+    Scale shape: one explode + one aggregation; the element value is
+    the shuffle key, so a viral element (huge segment) is the skew axis
+    — the same axis as edges_from_segmentation's cap."""
+    belongs_to = vertices.where(F.col(attr).isNotNull()).select(
+        F.col(id_col).alias("id"), F.explode(attr).alias("segment")
+    )
+    segments = belongs_to.groupBy("segment").agg(F.count(F.lit(1)).alias("size"))
+    return segments, belongs_to
+
+
 def vertex_set_intersection(*vertex_sets: DataFrame) -> DataFrame:
     """Intersections.scala — vertices present in every input set."""
     out = vertex_sets[0].select("id").distinct()

@@ -105,4 +105,9 @@ def write_table(
     if fmt in CATALOG_FORMATS:
         writer.format(fmt).saveAsTable(path_or_table)
         return
+    if fmt == "jdbc":
+        # url/dbtable/driver arrive via **options; path_or_table is the
+        # logical name only (mirrors read_table's jdbc contract)
+        writer.format("jdbc").save()
+        return
     getattr(writer, fmt)(path_or_table)

@@ -1,0 +1,231 @@
+"""Tests for the pyspark.ml model family (models.py), the geo operators
+(geo.py), segment-by-vector, and the connector contracts (sources/io.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lynxkite_spark.models import (
+    classify_with_model,
+    lloyd_kmeans,
+    predict_from_model,
+    train_decision_tree,
+    train_kmeans,
+    train_logistic_regression,
+)
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    """Three well-separated deterministic 2-d blobs, 30 points each."""
+    rows = []
+    centers = [(0.0, 0.0), (10.0, 10.0), (-10.0, 10.0)]
+    for cid, (cx, cy) in enumerate(centers):
+        for i in range(30):
+            # value-derived jitter in [-1, 1): no RNG state
+            jx = ((i * 7919 + cid * 104729) % 2000) / 1000.0 - 1.0
+            jy = ((i * 104729 + cid * 7919) % 2000) / 1000.0 - 1.0
+            rows.append(Row(id=cid * 30 + i, x=cx + jx, y=cy + jy, blob=cid))
+    return spark.createDataFrame(rows)
+
+
+def test_train_kmeans_recovers_blobs(spark, blobs):
+    m = train_kmeans(blobs, ["x", "y"], k=3, max_iterations=20, seed=7)
+    assert m.method == "KMeans clustering"
+    assert m.statistics["cost"] < 90 * 2.0  # within-blob jitter only
+    out = classify_with_model(m, blobs)
+    # clusters must be the blobs exactly (up to relabeling)
+    joined = out.join(blobs, "id")
+    purity = (
+        joined.groupBy("blob")
+        .agg(F.countDistinct("classification").alias("k"))
+        .agg(F.max("k"))
+        .first()[0]
+    )
+    assert purity == 1
+    assert out.select("classification").distinct().count() == 3
+
+
+def test_train_kmeans_empty_raises(spark, blobs):
+    with pytest.raises(ValueError, match="empty"):
+        train_kmeans(blobs.where(F.col("id") < 0), ["x", "y"], k=2)
+
+
+def test_logistic_regression_separable(spark, blobs):
+    df = blobs.withColumn("label", (F.col("blob") == 2).cast("double"))
+    m = train_logistic_regression(df, ["x", "y"], "label", max_iterations=20)
+    pred = classify_with_model(m, df).join(df, "id")
+    acc = pred.where(F.col("classification") == F.col("label")).count() / 90
+    assert acc == 1.0  # linearly separable
+    zs = m.statistics["z_values"]
+    assert len(zs) == 3  # two coefficients + intercept
+    assert all(isinstance(z, float) for z in zs)
+    cert = classify_with_model(m, df).select(F.min("certainty")).first()[0]
+    assert 0.5 <= cert <= 1.0
+
+
+def test_logistic_regression_degenerate_labels(spark, blobs):
+    df = blobs.withColumn("label", F.lit(0.0))
+    m = train_logistic_regression(df, ["x", "y"], "label")
+    assert m.statistics["z_values"][-1] == -math.inf
+    df1 = blobs.withColumn("label", F.lit(1.0))
+    m1 = train_logistic_regression(df1, ["x", "y"], "label")
+    assert m1.statistics["z_values"][-1] == math.inf
+
+
+def test_decision_tree_with_string_features(spark, blobs):
+    df = blobs.withColumn(
+        "side", F.when(F.col("x") > 5, F.lit("east")).otherwise(F.lit("west"))
+    ).withColumn("label", (F.col("blob") == 1).cast("double"))
+    m = train_decision_tree(df, ["side", "y"], "label", max_depth=3, seed=1)
+    assert m.statistics["accuracy"] == 1.0  # blob 1 == east side
+    assert m.string_mappings["side"] == {"east": 0.0, "west": 1.0}
+    pred = predict_from_model(m, df).join(df, "id")
+    assert pred.where(F.col("prediction") != F.col("label")).count() == 0
+
+
+def test_lloyd_kmeans_deterministic_and_exact(spark):
+    rows = [
+        Row(vec_id=i, embedding=[float((i * 31 + d * 17) % 13) / 3.0 for d in range(4)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    out1 = {r["cluster"]: (r["size"], r["s0"]) for r in lloyd_kmeans(
+        df, k=3, iterations=2, quantize=100).collect()}
+    # repartitioned input must give bit-identical results (exact integer
+    # arithmetic — no float summation order anywhere)
+    out2 = {r["cluster"]: (r["size"], r["s0"]) for r in lloyd_kmeans(
+        df.repartition(7), k=3, iterations=2, quantize=100).collect()}
+    assert out1 == out2
+    assert sum(s for s, _ in out1.values()) == 40
+
+    # independent pure-Python replay
+    import numpy as np
+
+    X = np.array([[math.floor(v * 100 + 0.5) for v in r.embedding] for r in rows],
+                 dtype=np.int64)
+    cent = {c: (X[c].copy(), 1) for c in range(3)}
+    for _ in range(2):
+        assign = {}
+        for vid in range(40):
+            best = min(
+                (float((X[vid] * n - s).astype(np.int64) @ (X[vid] * n - s)) / (n * n), c)
+                for c, (s, n) in cent.items()
+            )
+            assign[vid] = best[1]
+        cent = {
+            c: (sum(X[v] for v in assign if assign[v] == c),
+                sum(1 for v in assign if assign[v] == c))
+            for c in set(assign.values())
+        }
+    expect = {c: (n, int(s[0])) for c, (s, n) in cent.items()}
+    assert out1 == expect
+
+
+def test_segment_by_vector_attribute(spark):
+    from lynxkite_spark.operators.segmentation import segment_by_vector_attribute
+
+    df = spark.createDataFrame(
+        [Row(id=1, tags=["a", "b", "a"]), Row(id=2, tags=["b"]),
+         Row(id=3, tags=None)]
+    )
+    segments, belongs = segment_by_vector_attribute(df, "tags")
+    sizes = {r["segment"]: r["size"] for r in segments.collect()}
+    # multiplicity preserved: vertex 1 contributes 'a' twice
+    assert sizes == {"a": 2, "b": 2}
+    assert belongs.count() == 4
+
+
+def test_lookup_region_boxes_and_polygon(spark):
+    from lynxkite_spark.geo import lookup_region
+
+    regions = spark.createDataFrame([
+        Row(region="box_a", min_lat=0.0, max_lat=10.0, min_lon=0.0, max_lon=10.0),
+        Row(region="box_b", min_lat=5.0, max_lat=15.0, min_lon=5.0, max_lon=15.0),
+    ])
+    pts = spark.createDataFrame([
+        Row(id=1, lat=1.0, lon=1.0),    # only box_a
+        Row(id=2, lat=7.0, lon=7.0),    # both -> min = box_a
+        Row(id=3, lat=12.0, lon=12.0),  # only box_b
+        Row(id=4, lat=50.0, lon=50.0),  # neither -> NULL
+    ])
+    out = {r["id"]: r["region"] for r in lookup_region(pts, regions).collect()}
+    assert out == {1: "box_a", 2: "box_a", 3: "box_b", 4: None}
+
+    # triangle polygon: (0,0) (10,0) (0,10); (6,6) is outside it but
+    # inside the bounding box -- the ray cast must reject it
+    tri = [Row(lat=0.0, lon=0.0), Row(lat=10.0, lon=0.0), Row(lat=0.0, lon=10.0)]
+    regions_p = spark.createDataFrame([
+        Row(region="tri", min_lat=0.0, max_lat=10.0, min_lon=0.0, max_lon=10.0,
+            polygon=tri),
+    ])
+    pts_p = spark.createDataFrame([
+        Row(id=1, lat=2.0, lon=2.0),   # inside triangle
+        Row(id=2, lat=6.0, lon=6.0),   # inside box, outside triangle
+    ])
+    out_p = {r["id"]: r["region"] for r in lookup_region(pts_p, regions_p).collect()}
+    assert out_p == {1: "tri", 2: None}
+
+
+def test_geographical_proximity_haversine(spark):
+    from lynxkite_spark.geo import haversine_m, segment_by_geographical_proximity
+
+    # Paris (48.8566, 2.3522) <-> London (51.5074, -0.1278) ~ 343-344 km
+    d = spark.range(1).select(
+        haversine_m(F.lit(48.8566), F.lit(2.3522), F.lit(51.5074), F.lit(-0.1278))
+    ).first()[0]
+    assert 340_000 < d < 348_000
+
+    regions = spark.createDataFrame([
+        Row(region="paris", lat=48.8566, lon=2.3522),
+        Row(region="brussels", lat=50.8503, lon=4.3517),
+    ])
+    pts = spark.createDataFrame([
+        Row(id=1, lat=48.8, lon=2.4),     # near Paris
+        Row(id=2, lat=51.5074, lon=-0.1278),  # London: near neither at 200km
+    ])
+    links = segment_by_geographical_proximity(pts, regions, 200_000)
+    got = {(r["id"], r["region"]) for r in links.collect()}
+    assert got == {(1, "paris")}
+
+
+def test_jdbc_roundtrip_via_derby(spark, tmp_path):
+    """The JDBC path end-to-end against the Derby engine that ships in
+    Spark's own jars — proves the connector contract works when a driver
+    is present, not just that the error is clean."""
+    from lynxkite_spark.sources.io import read_table, write_table
+
+    url = f"jdbc:derby:{tmp_path}/contractdb;create=true"
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") * 2).alias("doubled")
+    )
+    write_table(df, "people", format="jdbc", mode="overwrite", url=url,
+                dbtable="people", driver="org.apache.derby.jdbc.EmbeddedDriver")
+    back = read_table(spark, "people", format="jdbc", url=url,
+                      dbtable="people",
+                      driver="org.apache.derby.jdbc.EmbeddedDriver")
+    assert back.count() == 10
+    assert back.agg(F.sum("doubled")).first()[0] == 90
+
+
+def test_lakehouse_contract_errors(spark, tmp_path):
+    """Delta/Iceberg jars are absent in the sandbox: the routed error
+    must be the documented RuntimeError naming the fix, not an opaque
+    ClassNotFound."""
+    from lynxkite_spark.sources.io import read_table
+
+    for fmt in ("delta", "iceberg"):
+        with pytest.raises(RuntimeError, match="spark-submit --packages"):
+            read_table(spark, str(tmp_path / "t"), format=fmt)
+
+
+def test_unknown_format_rejected(spark):
+    from lynxkite_spark.sources.io import read_table
+
+    with pytest.raises(ValueError, match="unknown format"):
+        read_table(spark, "/tmp/x", format="wat")

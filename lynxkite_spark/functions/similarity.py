@@ -228,24 +228,44 @@ def embedding_near_duplicates(
     threshold: float = 0.98,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 6,
+    n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    bands: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH buckets (a < b).
-    Returns DataFrame[a, b, cosine_sim]."""
-    planes = random_hyperplanes(dim, n_planes, seed)
-    c = _as_double(corpus, vec_col).select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    a = c.select(F.col("_id").alias("a"), F.col("_v").alias("_va"), "bucket")
-    b = c.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"), "bucket")
+    """Embedding-cosine near-dup pairs (a < b) via the same banded
+    OR-of-ANDs signature as ann_lsh_topk: a true near-dup at
+    cosine 0.98 has per-bit agreement p ≈ 0.94, so r=8 × b=4 catches it
+    with probability 1-(1-0.94⁸)⁴ ≈ 0.97 while random pairs only
+    collide at ~4·2⁻⁸ (bands=1 reverts to the old single-bucket
+    signature). Returns DataFrame[a, b, cosine_sim]."""
+    planes = random_hyperplanes(dim, max(n_planes * bands, n_planes), seed)
+    d = _as_double(corpus, vec_col)
+    if bands > 1:
+        codes = banded_codes(F.col(vec_col), planes, n_planes, bands)
+        probes = F.array(*[
+            F.struct(F.lit(i).alias("band"), codes[i].alias("code"))
+            for i in range(bands)
+        ])
+        c = d.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+            F.explode(probes).alias("_p"),
+        ).select("_id", "_v", "_p.band", "_p.code")
+        key = ["band", "code"]
+    else:
+        c = d.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            lsh_bucket(F.col(vec_col), planes[:n_planes]).alias("bucket"),
+        )
+        key = ["bucket"]
+    a = c.select(F.col("_id").alias("a"), F.col("_v").alias("_va"), *key)
+    b = c.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"), *key)
+    pairs = a.join(b, key).where(F.col("a") < F.col("b"))
+    if bands > 1:
+        pairs = pairs.dropDuplicates(["a", "b"])
     return (
-        a.join(b, "bucket")
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"))
+        pairs.select("a", "b", cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
     )
 

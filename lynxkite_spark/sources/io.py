@@ -110,4 +110,52 @@ def write_table(
         # logical name only (mirrors read_table's jdbc contract)
         writer.format("jdbc").save()
         return
+    if fmt in CONNECTOR_FORMATS:
+        # export twin of the import routing (ExportToNeo4j.scala:1,
+        # ImportOperations.scala:360 BigQuery): same DataSource V2
+        # class, options are the connector's public write contract
+        try:
+            w = writer.format(CONNECTOR_FORMATS[fmt])
+            if fmt == "bigquery":
+                w.save(path_or_table)
+            else:
+                w.save()
+        except Exception as e:
+            raise RuntimeError(
+                f"{fmt} connector not available in this environment; add it "
+                f"via spark-submit --packages (reference export box: "
+                f"ExportToNeo4j.scala:1 / ImportOperations.scala:360)"
+            ) from e
+        return
     getattr(writer, fmt)(path_or_table)
+
+
+def export_graph_to_neo4j(
+    vertices: DataFrame,
+    edges: DataFrame,
+    url: str,
+    node_label: str = "Vertex",
+    relationship: str = "EDGE",
+    **auth_options,
+) -> None:
+    """ExportToNeo4j.scala:1 — two connector writes: vertices as nodes
+    keyed by ``id``, edges as relationships keyed by (src, dst).  The
+    option names are the neo4j-spark connector's public contract; the
+    jar arrives via spark-submit --packages on a cluster (clear
+    RuntimeError here without it)."""
+    write_table(
+        vertices, "nodes", format="neo4j", mode="overwrite", url=url,
+        labels=f":{node_label}", **{"node.keys": "id"}, **auth_options,
+    )
+    write_table(
+        edges, "relationships", format="neo4j", mode="overwrite", url=url,
+        **{
+            "relationship": relationship,
+            "relationship.save.strategy": "keys",
+            "relationship.source.labels": f":{node_label}",
+            "relationship.source.node.keys": "src:id",
+            "relationship.target.labels": f":{node_label}",
+            "relationship.target.node.keys": "dst:id",
+        },
+        **auth_options,
+    )

@@ -229,3 +229,34 @@ def test_unknown_format_rejected(spark):
 
     with pytest.raises(ValueError, match="unknown format"):
         read_table(spark, "/tmp/x", format="wat")
+
+
+def test_neo4j_export_contract_error(spark):
+    """ExportToNeo4j analog: without the connector jar the routed error
+    names the fix; the write options are the connector's public
+    contract (asserted by the error, not an opaque ClassNotFound)."""
+    from lynxkite_spark.sources.io import export_graph_to_neo4j
+
+    v = spark.range(3).select(F.col("id"))
+    e = spark.createDataFrame([Row(src=0, dst=1), Row(src=1, dst=2)])
+    with pytest.raises(RuntimeError, match="neo4j connector not available"):
+        export_graph_to_neo4j(v, e, url="neo4j://localhost:7687")
+
+
+def test_embedding_near_duplicates_banded(spark):
+    """Banded near-dup recall: planted near-duplicate pairs (cosine
+    ~0.999) must all surface; the single-bucket signature is a subset."""
+    from lynxkite_spark.functions.similarity import embedding_near_duplicates
+
+    rows = []
+    for i in range(50):
+        base = [float((i * 31 + d * 17) % 13) - 6.0 for d in range(16)]
+        rows.append(Row(vec_id=i, embedding=base))
+        if i < 10:  # planted near-dup: tiny perturbation
+            rows.append(Row(vec_id=100 + i,
+                            embedding=[v + 0.01 for v in base]))
+    df = spark.createDataFrame(rows)
+    got = {(r["a"], r["b"]) for r in embedding_near_duplicates(
+        df, threshold=0.99, dim=16).collect()}
+    planted = {(i, 100 + i) for i in range(10)}
+    assert planted <= got

@@ -230,6 +230,107 @@ def train_decision_tree(
     )
 
 
+_REGRESSION_METHODS = {
+    # RegressionModelTrainer.scala:65-72 — the Spark-MLlib deprecation
+    # mapping for the three classic methods
+    "Linear regression": (0.0, 0.0),
+    "Ridge regression": (0.0, 0.01),
+    "Lasso": (1.0, 0.01),
+}
+
+
+def _mape(predictions: DataFrame) -> float:
+    """Model.getMAPE (Model.scala:374-390), expression-for-expression:
+    0 when prediction == label, 100% when prediction == 0, else
+    |prediction/label − 1|, averaged ×100."""
+    return predictions.agg(
+        (F.avg(
+            F.when(F.col("prediction") == F.col("label"), 0.0)
+            .when(F.col("prediction") == 0.0, 1.0)
+            # Scala double division by zero is ±Infinity, not an error;
+            # try_divide keeps ANSI mode quiet and the when restores the
+            # reference's numerics
+            .when(F.col("label") == 0.0, float("inf"))
+            .otherwise(F.abs(F.try_divide(F.col("prediction"), F.col("label")) - 1.0))
+        ) * 100.0).alias("mape")
+    ).first()[0]
+
+
+def train_regression(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    method: str = "Linear regression",
+    id_col: str = "id",
+) -> TrainedModel:
+    """RegressionModelTrainer.scala:26-115: generic linear-family
+    regression; statistics carries R², the reference's MAPE, the
+    coefficients, and (for the unbiased elastic_net=0 methods) the
+    t-values."""
+    from pyspark.ml.regression import LinearRegression
+
+    if method not in _REGRESSION_METHODS:
+        raise ValueError(f"unknown method {method!r}; one of {sorted(_REGRESSION_METHODS)}")
+    elastic_net, reg = _REGRESSION_METHODS[method]
+    assembled, mappings = _assemble(df, feature_cols, id_col, label_col)
+    if assembled.rdd.isEmpty():
+        raise ValueError("Training is not possible with empty data set.")
+    lr = LinearRegression(
+        featuresCol="features", labelCol="label", predictionCol="prediction",
+        elasticNetParam=elastic_net, regParam=reg,
+    )
+    model = lr.fit(assembled)
+    predictions = model.transform(assembled)
+    stats = {
+        "r2": model.summary.r2,
+        "mape": _mape(predictions),
+        "coefficients": list(model.coefficients.toArray()) + [model.intercept],
+    }
+    if elastic_net == 0.0:
+        stats["t_values"] = list(model.summary.tValues)
+    return TrainedModel(
+        method=method, model=model, feature_names=feature_cols,
+        label_name=label_col, statistics=stats, string_mappings=mappings,
+    )
+
+
+def train_decision_tree_regressor(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    max_bins: int = 32,
+    max_depth: int = 5,
+    min_info_gain: float = 0.0,
+    min_instances_per_node: int = 1,
+    seed: int = 1234,
+    id_col: str = "id",
+) -> TrainedModel:
+    """TrainDecisionTreeRegressionModel.scala — variance-impurity
+    regression tree over the same feature contract."""
+    from pyspark.ml.regression import DecisionTreeRegressor
+
+    assembled, mappings = _assemble(df, feature_cols, id_col, label_col)
+    dt = DecisionTreeRegressor(
+        impurity="variance", maxBins=max_bins, maxDepth=max_depth,
+        minInfoGain=min_info_gain, minInstancesPerNode=min_instances_per_node,
+        seed=seed, featuresCol="features", labelCol="label",
+    )
+    model = dt.fit(assembled)
+    predictions = model.transform(assembled)
+    return TrainedModel(
+        method="Decision tree regression",
+        model=model,
+        feature_names=feature_cols,
+        label_name=label_col,
+        statistics={
+            "mape": _mape(predictions),
+            "depth": model.depth,
+            "nodes": model.numNodes,
+        },
+        string_mappings=mappings,
+    )
+
+
 def predict_from_model(
     trained: TrainedModel,
     df: DataFrame,

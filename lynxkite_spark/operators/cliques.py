@@ -114,3 +114,62 @@ def find_max_cliques(
     return grouped_adj.cogroup(grouped_edges).applyInPandas(
         bk_per_vertex, "clique_id string, id long"
     )
+
+
+def check_cliques(
+    graph: Graph,
+    belongs_to: DataFrame,
+    needs_both_directions: bool = False,
+    cliques_to_check: list | None = None,
+) -> DataFrame:
+    """CheckClique.scala:44-90 — validate a clique segmentation: a
+    clique is valid iff the intersection of its members'
+    (self ∪ neighbors) sets equals the member set, which catches BOTH a
+    missing internal edge (intersection shrinks) and a missed extension
+    vertex, i.e. non-maximality (intersection grows).
+
+    The reference folds each clique's sets in one closure; here it is
+    columnar: count, per (clique, candidate u), the members v with
+    u ∈ {v} ∪ N(v) — u is in the intersection iff the count equals the
+    clique size; valid iff intersection == members.  With
+    ``needs_both_directions`` the out- and in-neighbor intersections
+    are computed separately and both must equal the member set.
+
+    Returns DataFrame[clique_id] of INVALID cliques (empty = all valid;
+    the reference returns the first 100 as a scalar — ``.limit(100)``).
+    """
+    bt = belongs_to.select("clique_id", F.col("id").alias("v"))
+    if cliques_to_check is not None:
+        keep = F.col("clique_id").isin([str(c) for c in cliques_to_check])
+        bt = bt.where(keep)
+    sizes = bt.groupBy("clique_id").agg(F.count(F.lit(1)).alias("sz"))
+    e = graph.edges.select("src", "dst")
+    out_pairs = e.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    in_pairs = e.select(F.col("dst").alias("v"), F.col("src").alias("u"))
+    self_pairs = bt.select("v", F.col("v").alias("u")).distinct()
+
+    def invalid_for(pairs: DataFrame) -> DataFrame:
+        """Cliques whose intersection-of-(self∪nbr)-sets ≠ members."""
+        adj = pairs.unionByName(self_pairs.select("v", "u")).distinct()
+        counts = (
+            bt.join(adj, "v")
+            .groupBy("clique_id", "u")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .join(sizes, "clique_id")
+        )
+        inter = counts.where(F.col("c") == F.col("sz")).select(
+            "clique_id", F.col("u")
+        )
+        # symmetric difference between intersection and members, per clique
+        members = bt.select("clique_id", F.col("v").alias("u"))
+        extra = inter.join(members, ["clique_id", "u"], "left_anti")
+        missing = members.join(inter, ["clique_id", "u"], "left_anti")
+        return extra.select("clique_id").unionByName(
+            missing.select("clique_id")
+        ).distinct()
+
+    if needs_both_directions:
+        return invalid_for(out_pairs).unionByName(
+            invalid_for(in_pairs)
+        ).distinct()
+    return invalid_for(out_pairs.unionByName(in_pairs))

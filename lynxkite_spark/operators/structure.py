@@ -47,6 +47,17 @@ def strip_duplicate_edges(edges: DataFrame) -> DataFrame:
     return edges.dropDuplicates(["src", "dst"])
 
 
+def remove_non_symmetric_edges(edges: DataFrame) -> DataFrame:
+    """RemoveNonSymmetricEdges.scala:1-6 — discard every A→B edge with
+    no B→A edge (multiplicity preserved on the kept side, unlike
+    make_symmetric's min-multiplicity).  One semi-join on the reversed
+    pair set."""
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).distinct()
+    return edges.join(rev, ["src", "dst"], "left_semi")
+
+
 def loop_edges(vertices: DataFrame) -> DataFrame:
     """LoopEdgeBundle.scala — a self-loop per vertex."""
     return vertices.select(F.col("id").alias("src"), F.col("id").alias("dst"))

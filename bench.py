@@ -317,7 +317,12 @@ def write_scaling_report(scaling: dict) -> None:
             "memory-bandwidth bound — a pure Spark SQL join+agg kernel with no\n"
             "engine code shows the same 8→32 plateau — whereas 4N executors on\n"
             "a real cluster bring 4N memory buses. Generated by `python\n"
-            "bench.py` (also emitted in the JSON line under `scaling`).\n"
+            "bench.py` (also emitted in the JSON line under `scaling`).\n\n"
+            "Cross-round comparison caveat: identical code measured local[32]\n"
+            "at 6.97M edges/s (round 2) and 12.67M (round 3) — a 1.8x swing\n"
+            "from co-tenant load. Treat any cross-round throughput delta\n"
+            "under ~2x as host noise, not an engine change (same rule as\n"
+            "BASELINE.md's per-query noise envelope).\n"
         )
 
 

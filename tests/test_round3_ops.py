@@ -141,3 +141,29 @@ def test_basic_stats(spark, clique_graph):
 
     row = basic_stats(clique_graph).first()
     assert row["n_vertices"] == 5 and row["n_edges"] == 9
+
+
+def test_pyfiles_artifact_importable(tmp_path):
+    """The spark-submit --py-files zip must be importable standalone
+    (north rule: runs via spark-submit --py-files) and byte-identical
+    across builds (deterministic packaging)."""
+    import subprocess
+    import sys as _sys
+
+    out1 = str(tmp_path / "a.zip")
+    out2 = str(tmp_path / "b.zip")
+    for out in (out1, out2):
+        subprocess.run(
+            [_sys.executable, "tools/package_pyfiles.py", out],
+            check=True, cwd="/root/repo", capture_output=True,
+        )
+    assert open(out1, "rb").read() == open(out2, "rb").read()
+    probe = subprocess.run(
+        [_sys.executable, "-c",
+         f"import sys; sys.path.insert(0, {out1!r}); "
+         "import lynxkite_spark.operators.pagerank as p; "
+         "import lynxkite_spark.models, lynxkite_spark.geo; "
+         "print('ok')"],
+        capture_output=True, text=True,
+    )
+    assert probe.returncode == 0 and probe.stdout.strip() == "ok", probe.stderr

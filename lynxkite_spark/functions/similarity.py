@@ -123,6 +123,7 @@ def ann_lsh_topk(
     multi_probe: int = 0,
     bands: int = 4,
     profile: str | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates only from matching LSH buckets,
     exact cosine within the candidates.
@@ -151,6 +152,13 @@ def ann_lsh_topk(
     ``multi_probe=1`` additionally probes every bucket at Hamming
     distance 1 (query side only fans out ×(n_planes+1)).
 
+    ``max_bucket_size`` is the viral-bucket guard (the ANN twin of
+    minhash's ``max_doc_freq`` stop-shingle guard): a (band, code)
+    bucket larger than the cap is dropped from the corpus side, so a
+    mega-cluster of near-identical vectors cannot turn the bucket join
+    quadratic — at the cost of recall inside that cluster.  Off by
+    default; set it on 100 TB-scale corpora.
+
     Returns DataFrame[query_id, neighbor_id, cosine_sim, rank]."""
     if profile == "balanced":
         n_planes, bands = 4, 8
@@ -176,6 +184,14 @@ def ann_lsh_topk(
 
         c = with_bands(corpus, "neighbor_id", "_cv")
         q = with_bands(queries, "query_id", "_qv")
+        if max_bucket_size is not None:
+            ok = (
+                c.groupBy("band", "code")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") <= max_bucket_size)
+                .select("band", "code")
+            )
+            c = c.join(ok, ["band", "code"], "left_semi")
         cand = (
             c.join(q, ["band", "code"])
             .where(F.col("query_id") != F.col("neighbor_id"))
@@ -232,6 +248,7 @@ def embedding_near_duplicates(
     dim: int = 64,
     seed: int = 42,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b) via the same banded
     OR-of-ANDs signature as ann_lsh_topk: a true near-dup at
@@ -259,6 +276,16 @@ def embedding_near_duplicates(
             lsh_bucket(F.col(vec_col), planes[:n_planes]).alias("bucket"),
         )
         key = ["bucket"]
+    if max_bucket_size is not None:
+        # viral-bucket guard (see ann_lsh_topk): self-join cost per
+        # bucket is quadratic, so the cap matters doubly here
+        ok = (
+            c.groupBy(*key)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket_size)
+            .select(*key)
+        )
+        c = c.join(ok, key, "left_semi")
     a = c.select(F.col("_id").alias("a"), F.col("_v").alias("_va"), *key)
     b = c.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"), *key)
     pairs = a.join(b, key).where(F.col("a") < F.col("b"))

@@ -334,3 +334,16 @@ def test_ann_banded_profiles(spark, embs):
     assert r_default > r_single
     assert r_high >= 0.8
     assert r_high >= r_default
+
+
+def test_ann_viral_bucket_guard(spark, embs):
+    """max_bucket_size drops oversized corpus buckets: results shrink
+    (or stay equal), never error, and survivors are still ranked."""
+    from lynxkite_spark.functions.similarity import ann_lsh_topk
+
+    q = embs.where(F.col("vec_id") < 5)
+    full = ann_lsh_topk(embs, q, k=5).count()
+    capped = ann_lsh_topk(embs, q, k=5, max_bucket_size=3)
+    assert capped.count() <= full
+    # rank column still well-formed on the survivors
+    assert capped.where(F.col("rank") > 5).count() == 0

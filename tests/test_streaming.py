@@ -99,3 +99,53 @@ def test_stateful_streaming_sessionize_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM stream_sessions").collect()
     }
     assert got == expected
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming dedup keeps exactly one row per distinct document text
+    when drained with availableNow — same survivor-key set as the batch
+    exact_duplicates operator."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lynxkite_spark.functions.dedup import exact_duplicates
+    from lynxkite_spark.streaming.events import streaming_exact_dedup
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    shutil.copy(docs, str(src_dir / "part-0.parquet"))
+
+    batch_df = spark.read.parquet(docs)
+    schema_str = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in batch_df.schema.fields)
+    # the feed needs an event-time column for the watermark
+    schema_str += ", ts timestamp"
+    ts = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    aug = batch_df.withColumn("ts", ts)
+    aug.write.mode("overwrite").parquet(str(src_dir / "part-0.parquet"))
+
+    stream = streaming_exact_dedup(spark, str(src_dir / "part-0.parquet"),
+                                   schema_str, text_col="text")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_stream")
+    # one survivor per distinct normalized-less raw text
+    n_distinct = batch_df.select("text").distinct().count()
+    assert got.count() == n_distinct
+    # batch twin agrees on the number of non-duplicate keepers of the
+    # RAW-text key (exact_duplicates normalizes, so compare on raw sha2)
+    raw_keepers = (
+        batch_df.withColumn("k", F.sha2(F.col("text").cast("binary"), 256))
+        .groupBy("k").count().count()
+    )
+    assert got.count() == raw_keepers
+    assert exact_duplicates(batch_df).count() == batch_df.count()

@@ -213,3 +213,37 @@ def split_edges(edges: DataFrame, count_attr: str) -> DataFrame:
             "index",
         )
     )
+
+
+def compare_segmentation_edges(
+    golden_edges: DataFrame, test_edges: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """CompareSegmentationEdges.scala:1-80 — precision/recall of a test
+    edge set against a golden edge set over the same vertex universe;
+    parallel edges count once.
+
+    Returns (scalars[precision, recall],
+             test_edges + present_in_golden,
+             golden_edges + present_in_test) — the flag columns mirror
+    the reference's partially-defined 1.0 attributes (NULL when the
+    counterpart is missing).  Two distincts + one semi-join-shaped
+    aggregate; both sides shuffle once on (src, dst)."""
+    g = golden_edges.select("src", "dst").distinct()
+    t = test_edges.select("src", "dst").distinct()
+    both = g.join(t, ["src", "dst"], "inner")
+    n_g, n_t, n_b = g.count(), t.count(), both.count()
+    spark = golden_edges.sparkSession
+    scalars = spark.createDataFrame(
+        [(n_b / n_t if n_t else 0.0, n_b / n_g if n_g else 0.0)],
+        "precision double, recall double",
+    )
+    flag = F.lit(1.0)
+    test_flagged = t.join(
+        both.select("src", "dst", flag.alias("present_in_golden")),
+        ["src", "dst"], "left",
+    )
+    golden_flagged = g.join(
+        both.select("src", "dst", flag.alias("present_in_test")),
+        ["src", "dst"], "left",
+    )
+    return scalars, test_flagged, golden_flagged

@@ -167,3 +167,23 @@ def test_pyfiles_artifact_importable(tmp_path):
         capture_output=True, text=True,
     )
     assert probe.returncode == 0 and probe.stdout.strip() == "ok", probe.stderr
+
+
+def test_compare_segmentation_edges(spark):
+    from lynxkite_spark.operators.structure import compare_segmentation_edges
+
+    golden = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=2, dst=3), Row(src=3, dst=4),
+         Row(src=1, dst=2)]  # parallel edge counts once
+    )
+    test = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=2, dst=3), Row(src=9, dst=9)]
+    )
+    scalars, test_f, golden_f = compare_segmentation_edges(golden, test)
+    row = scalars.first()
+    assert row["precision"] == pytest.approx(2 / 3)
+    assert row["recall"] == pytest.approx(2 / 3)
+    tf = {(r["src"], r["dst"]): r["present_in_golden"] for r in test_f.collect()}
+    assert tf == {(1, 2): 1.0, (2, 3): 1.0, (9, 9): None}
+    gf = {(r["src"], r["dst"]): r["present_in_test"] for r in golden_f.collect()}
+    assert gf == {(1, 2): 1.0, (2, 3): 1.0, (3, 4): None}

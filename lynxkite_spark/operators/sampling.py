@@ -90,3 +90,70 @@ def random_walk_sample(
         )
     e.unpersist()
     return visited
+
+
+def vertex_neighborhood(
+    graph, center_ids: list, radius: int = 1, max_count: int | None = None
+):
+    """ComputeVertexNeighborhood.scala — the vertices within ``radius``
+    hops of the given centers (ego net), as DataFrame[id, distance].
+    One frontier join per hop, visited via left-anti join (the same
+    shape as the k-source BFS in betweenness.py); ``max_count`` caps
+    the result like the reference's sampled view budget (nearest hops
+    kept first, ties broken by id)."""
+    from pyspark.sql import Window as W
+
+    spark = graph.vertices.sparkSession
+    e = graph.edges.select("src", "dst")
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    seen = spark.createDataFrame(
+        [(int(i), 0) for i in center_ids], "id long, distance int"
+    )
+    frontier = seen.select("id")
+    for hop in range(1, radius + 1):
+        nxt = (
+            frontier.join(sym, frontier.id == sym.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(seen.select("id"), "id", "left_anti")
+        )
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt.select("id", F.lit(hop).alias("distance")))
+        frontier = nxt
+    if max_count is not None:
+        w = W.orderBy("distance", "id")
+        seen = (
+            seen.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= max_count)
+            .drop("_r")
+        )
+    return seen
+
+
+def vertex_bucket_grid(
+    vertices, x_attr: str, y_attr: str, x_buckets: int = 4, y_buckets: int = 4
+):
+    """VertexBucketGrid.scala — the 2-D bucket histogram behind the
+    reference's bucketed graph view: equal-width buckets over the two
+    attributes' ranges, count per cell. One aggregation, min/max from a
+    single stats pass. Returns [x_bucket, y_bucket, count]."""
+    stats = vertices.agg(
+        F.min(x_attr).alias("xlo"), F.max(x_attr).alias("xhi"),
+        F.min(y_attr).alias("ylo"), F.max(y_attr).alias("yhi"),
+    ).first()
+    xw = (stats["xhi"] - stats["xlo"]) / x_buckets or 1.0
+    yw = (stats["yhi"] - stats["ylo"]) / y_buckets or 1.0
+    xb = F.least(
+        F.floor((F.col(x_attr) - stats["xlo"]) / xw), F.lit(x_buckets - 1)
+    ).cast("int")
+    yb = F.least(
+        F.floor((F.col(y_attr) - stats["ylo"]) / yw), F.lit(y_buckets - 1)
+    ).cast("int")
+    return (
+        vertices.where(F.col(x_attr).isNotNull() & F.col(y_attr).isNotNull())
+        .groupBy(xb.alias("x_bucket"), yb.alias("y_bucket"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )

@@ -187,3 +187,41 @@ def test_compare_segmentation_edges(spark):
     assert tf == {(1, 2): 1.0, (2, 3): 1.0, (9, 9): None}
     gf = {(r["src"], r["dst"]): r["present_in_test"] for r in golden_f.collect()}
     assert gf == {(1, 2): 1.0, (2, 3): 1.0, (3, 4): None}
+
+
+def test_vertex_neighborhood(spark):
+    from lynxkite_spark.operators.sampling import vertex_neighborhood
+
+    # path graph 0-1-2-3-4 plus an isolated 9
+    g = Graph(
+        vertices=spark.createDataFrame([Row(id=i) for i in [0, 1, 2, 3, 4, 9]]),
+        edges=spark.createDataFrame(
+            [Row(src=i, dst=i + 1) for i in range(4)]
+        ),
+    )
+    got = {r["id"]: r["distance"] for r in vertex_neighborhood(
+        g, [0], radius=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+    # cap keeps nearest-first
+    capped = {r["id"] for r in vertex_neighborhood(g, [0], radius=4,
+                                                   max_count=3).collect()}
+    assert capped == {0, 1, 2}
+    # two centers merge
+    two = {r["id"]: r["distance"] for r in vertex_neighborhood(
+        g, [0, 4], radius=1).collect()}
+    assert two == {0: 0, 4: 0, 1: 1, 3: 1}
+
+
+def test_vertex_bucket_grid(spark):
+    from lynxkite_spark.operators.sampling import vertex_bucket_grid
+
+    v = spark.createDataFrame(
+        [Row(id=i, x=float(i), y=float(i % 2)) for i in range(8)]
+    )
+    grid = {(r["x_bucket"], r["y_bucket"]): r["count"]
+            for r in vertex_bucket_grid(v, "x", "y", x_buckets=2,
+                                        y_buckets=2).collect()}
+    # x splits at 3.5; y values 0/1 land in buckets 0/1
+    assert sum(grid.values()) == 8
+    assert grid[(0, 0)] == 2 and grid[(0, 1)] == 2
+    assert grid[(1, 0)] == 2 and grid[(1, 1)] == 2

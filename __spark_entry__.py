@@ -1427,8 +1427,17 @@ def _q_emb_elementwise_avg(spark, sf_dir):
         F.col("embedding").cast("array<double>").alias("v"),
     )
     agg = AGGREGATORS["elementwise_avg"](F.col("v"), F.lit(1.0)).alias("avg_vec")
-    return e.groupBy("label").agg(agg).select(
-        "label", F.transform("avg_vec", lambda x: F.round(x, 6)).alias("avg_vec")
+    # Exploded to (label, i, avg_i) rows: the driver's value hasher cannot
+    # hash an array<double> column (pandas factorize chokes on lists), and
+    # the flat shape is what a downstream join would consume anyway.
+    return (
+        e.groupBy("label").agg(agg)
+        .select("label", F.posexplode("avg_vec").alias("i", "avg_i"))
+        .select(
+            "label",
+            (F.col("i") + 1).cast("long").alias("i"),
+            F.round("avg_i", 6).alias("avg_i"),
+        )
     )
 
 
@@ -2191,17 +2200,15 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings GROUP BY label
         """,
         "embeddings_elementwise_avg": """
-            WITH x AS (
-              SELECT label, i, avg(v) AS m FROM (
-                SELECT label,
-                       UNNEST(embedding::DOUBLE[]) AS v,
-                       UNNEST(generate_series(1, len(embedding))) AS i
-                FROM embeddings
-              ) GROUP BY label, i
-            )
             SELECT CAST(label AS BIGINT) AS label,
-                   list(round(m, 6) ORDER BY i) AS avg_vec
-            FROM x GROUP BY label
+                   CAST(i AS BIGINT) AS i,
+                   round(avg(v), 6) AS avg_i
+            FROM (
+              SELECT label,
+                     UNNEST(embedding::DOUBLE[]) AS v,
+                     UNNEST(generate_series(1, len(embedding))) AS i
+              FROM embeddings
+            ) GROUP BY label, i
         """,
     }
 

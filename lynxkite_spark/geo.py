@@ -107,6 +107,43 @@ def grid_cell(lat: Column, lon: Column, cell_deg: float) -> Column:
     )
 
 
+def _proximity_cells(
+    lat: Column, lon: Column, cell_lat: float, cell_lon: float,
+    n_lon: int, polar_margin_deg: float, expand: bool,
+) -> Column:
+    """array<struct<clat,clon>> of candidate-join cells for one point.
+
+    The region side ``expand``s to its 3x3 neighborhood so the join is a
+    plain equi-join on (clat, clon); longitude cells wrap modulo
+    ``n_lon`` so the antimeridian seam joins its true neighbors.  Points
+    within ``polar_margin_deg`` of the |lat| > 84 cap additionally land
+    in a sentinel bucket (clat = -10**6): above 84 deg the cos(lat) >= 0.1
+    bound behind ``cell_lon`` fails, so cap candidates are matched
+    exhaustively inside that one (tiny) bucket — still via the same
+    equi-join, never a cross join."""
+    clat = F.floor((lat + F.lit(90.0)) / cell_lat).cast("long")
+    clon = F.floor((lon + F.lit(180.0)) / cell_lon).cast("long")
+    offsets = [(a, b) for a in (-1, 0, 1) for b in (-1, 0, 1)] if expand else [(0, 0)]
+    cells = [
+        F.struct(
+            (clat + F.lit(a)).alias("clat"),
+            F.pmod(clon + F.lit(b), F.lit(n_lon)).alias("clon"),
+        )
+        for a, b in offsets
+    ]
+    polar_cell = F.struct(
+        F.lit(-(10**6)).cast("long").alias("clat"),
+        F.lit(0).cast("long").alias("clon"),
+    )
+    in_cap = F.abs(lat) > F.lit(84.0 - polar_margin_deg)
+    return F.concat(
+        F.array(*cells),
+        F.when(in_cap, F.array(polar_cell)).otherwise(
+            F.array().cast("array<struct<clat:bigint,clon:bigint>>")
+        ),
+    )
+
+
 def segment_by_geographical_proximity(
     vertices: DataFrame,
     regions: DataFrame,
@@ -116,6 +153,7 @@ def segment_by_geographical_proximity(
     id_col: str = "id",
     region_col: str = "region",
     metric: str = "haversine",
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """SegmentByGeographicalProximity.scala:60-95 — belongs-to links
     from each vertex to every region whose representative point
@@ -126,13 +164,20 @@ def segment_by_geographical_proximity(
     ``metric="flat_deg"`` treats distance_m as squared *centidegrees*
     on quantized integer coordinates — exact integer arithmetic, used
     by the correctness gate so no cross-engine trig rounding can flip a
-    link (the same quantization trick as models.lloyd_kmeans)."""
-    r = F.broadcast(
-        regions.select(
-            F.col(region_col).alias("region"),
-            F.col("lat").alias("_rlat"),
-            F.col("lon").alias("_rlon"),
-        )
+    link (the same quantization trick as models.lloyd_kmeans).
+
+    ``strategy="broadcast"`` streams vertices past a broadcast region
+    table (right for the usual small region list);
+    ``strategy="grid"`` shuffles BOTH sides on an integer grid cell
+    (cell = the bounding box of ``distance_m``) and equi-joins cell to
+    neighbor cells — use when the region table is too large to
+    broadcast.  Longitude cells wrap modulo the cell count so
+    antimeridian neighbors meet; polar-cap rows land in one sentinel
+    bucket.  Same results as broadcast, no cross join anywhere."""
+    r = regions.select(
+        F.col(region_col).alias("region"),
+        F.col("lat").alias("_rlat"),
+        F.col("lon").alias("_rlon"),
     )
     v = vertices.select(
         F.col(id_col).alias("id"), F.col(lat_col).alias("_vlat"),
@@ -144,16 +189,52 @@ def segment_by_geographical_proximity(
             for c in (F.col("_vlat"), F.col("_vlon"), F.col("_rlat"), F.col("_rlon"))
         ]
         d2 = (dq[0] - dq[2]) * (dq[0] - dq[2]) + (dq[1] - dq[3]) * (dq[1] - dq[3])
-        return v.crossJoin(r).where(d2 <= F.lit(int(distance_m))).select("id", "region")
+        return (
+            v.crossJoin(F.broadcast(r))
+            .where(d2 <= F.lit(int(distance_m)))
+            .select("id", "region")
+        )
     # bounding prefilter: 1 deg latitude = ~111 km; longitude shrinks by
     # cos(lat) — bound with cos(84°)=0.1 and drop the lon filter
-    # entirely in the polar caps so the prefilter only ever over-selects
+    # entirely in the polar caps so the prefilter only ever over-selects.
+    # The lon delta wraps: points at 179.9 and -179.9 are 0.2° apart.
     deg = distance_m / 111_000.0
+    dlon = F.abs(F.col("_vlon") - F.col("_rlon"))
+    lon_near = F.least(dlon, F.lit(360.0) - dlon) <= deg / 0.1
     polar = (F.abs(F.col("_vlat")) > 84) | (F.abs(F.col("_rlat")) > 84)
-    pre = (F.abs(F.col("_vlat") - F.col("_rlat")) <= deg) & (
-        (F.abs(F.col("_vlon") - F.col("_rlon")) <= deg / 0.1) | polar
-    )
+    pre = (F.abs(F.col("_vlat") - F.col("_rlat")) <= deg) & (lon_near | polar)
     exact = haversine_m(
         F.col("_vlat"), F.col("_vlon"), F.col("_rlat"), F.col("_rlon")
     ) <= distance_m
-    return v.crossJoin(r).where(pre & exact).select("id", "region")
+    if strategy == "broadcast":
+        return v.crossJoin(F.broadcast(r)).where(pre & exact).select("id", "region")
+    if strategy != "grid":
+        raise ValueError(f"unknown strategy {strategy!r} (broadcast|grid)")
+    import math
+
+    cell_lat = deg
+    # equal-width lon cells: a trailing short cell would break the ±1
+    # adjacency across the antimeridian (a delta can span the short cell
+    # plus a boundary), so round the cell COUNT down and widen the cells
+    n_lon = max(1, int(360.0 // (deg / 0.1)))
+    cell_lon = 360.0 / n_lon
+    v_cells = v.select(
+        "id", "_vlat", "_vlon",
+        F.explode(_proximity_cells(
+            F.col("_vlat"), F.col("_vlon"), cell_lat, cell_lon, n_lon,
+            polar_margin_deg=deg, expand=False,
+        )).alias("_c"),
+    ).select("id", "_vlat", "_vlon", "_c.clat", "_c.clon")
+    r_cells = r.select(
+        "region", "_rlat", "_rlon",
+        F.explode(_proximity_cells(
+            F.col("_rlat"), F.col("_rlon"), cell_lat, cell_lon, n_lon,
+            polar_margin_deg=deg, expand=True,
+        )).alias("_c"),
+    ).select("region", "_rlat", "_rlon", "_c.clat", "_c.clon")
+    return (
+        v_cells.join(r_cells, ["clat", "clon"])
+        .where(pre & exact)
+        .select("id", "region")
+        .distinct()
+    )

@@ -148,8 +148,8 @@ def check_cliques(
     in_pairs = e.select(F.col("dst").alias("v"), F.col("src").alias("u"))
     self_pairs = bt.select("v", F.col("v").alias("u")).distinct()
 
-    def invalid_for(pairs: DataFrame) -> DataFrame:
-        """Cliques whose intersection-of-(self∪nbr)-sets ≠ members."""
+    def intersection_for(pairs: DataFrame) -> DataFrame:
+        """DataFrame[clique_id, u]: u ∈ ∩_{v∈members} ({v} ∪ N(v))."""
         adj = pairs.unionByName(self_pairs.select("v", "u")).distinct()
         counts = (
             bt.join(adj, "v")
@@ -157,19 +157,25 @@ def check_cliques(
             .agg(F.count(F.lit(1)).alias("c"))
             .join(sizes, "clique_id")
         )
-        inter = counts.where(F.col("c") == F.col("sz")).select(
+        return counts.where(F.col("c") == F.col("sz")).select(
             "clique_id", F.col("u")
         )
-        # symmetric difference between intersection and members, per clique
-        members = bt.select("clique_id", F.col("v").alias("u"))
-        extra = inter.join(members, ["clique_id", "u"], "left_anti")
-        missing = members.join(inter, ["clique_id", "u"], "left_anti")
-        return extra.select("clique_id").unionByName(
-            missing.select("clique_id")
-        ).distinct()
 
     if needs_both_directions:
-        return invalid_for(out_pairs).unionByName(
-            invalid_for(in_pairs)
-        ).distinct()
-    return invalid_for(out_pairs.unionByName(in_pairs))
+        # CheckClique.scala intersects the out-set fold with the in-set
+        # fold FIRST, then compares the combined set against members: a
+        # vertex that extends the clique in only one direction is not a
+        # valid extension, so it must NOT flag the clique as non-maximal.
+        inter = intersection_for(out_pairs).join(
+            intersection_for(in_pairs), ["clique_id", "u"]
+        )
+    else:
+        inter = intersection_for(out_pairs.unionByName(in_pairs))
+
+    # symmetric difference between the intersection and members, per clique
+    members = bt.select("clique_id", F.col("v").alias("u"))
+    extra = inter.join(members, ["clique_id", "u"], "left_anti")
+    missing = members.join(inter, ["clique_id", "u"], "left_anti")
+    return extra.select("clique_id").unionByName(
+        missing.select("clique_id")
+    ).distinct()

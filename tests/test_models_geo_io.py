@@ -194,6 +194,54 @@ def test_geographical_proximity_haversine(spark):
     assert got == {(1, "paris")}
 
 
+def test_geographical_proximity_antimeridian_wrap(spark):
+    """A vertex at lon 179.9 and a region at -179.9 are ~0.2 deg apart;
+    the bounding prefilter must wrap the lon delta instead of seeing
+    359.8 and dropping a genuinely in-range link."""
+    from lynxkite_spark.geo import segment_by_geographical_proximity
+
+    regions = spark.createDataFrame([Row(region="fiji", lat=-17.0, lon=-179.9)])
+    pts = spark.createDataFrame([Row(id=1, lat=-17.0, lon=179.9)])
+    for strategy in ("broadcast", "grid"):
+        links = segment_by_geographical_proximity(
+            pts, regions, 100_000, strategy=strategy)
+        assert {(r["id"], r["region"]) for r in links.collect()} == {(1, "fiji")}, strategy
+
+
+def test_geographical_proximity_grid_matches_broadcast(spark):
+    """strategy='grid' (shuffle-join on grid cells, for region tables too
+    big to broadcast) returns exactly the broadcast path's links —
+    including polar-cap and antimeridian pairs — and its plan contains
+    no cartesian/nested-loop join."""
+    import random
+
+    from lynxkite_spark.geo import segment_by_geographical_proximity
+
+    rng = random.Random(7)
+    pts = spark.createDataFrame(
+        [Row(id=i, lat=rng.uniform(-90, 90), lon=rng.uniform(-180, 180))
+         for i in range(120)]
+        + [Row(id=1000, lat=86.0, lon=10.0),      # polar cap
+           Row(id=1001, lat=85.5, lon=-170.0),
+           Row(id=1002, lat=40.0, lon=179.95)]    # seam
+    )
+    regions = spark.createDataFrame(
+        [Row(region=f"r{i}", lat=rng.uniform(-90, 90), lon=rng.uniform(-180, 180))
+         for i in range(40)]
+        + [Row(region="pole", lat=85.8, lon=-120.0),
+           Row(region="seam", lat=40.1, lon=-179.98)]
+    )
+    for dist in (50_000, 400_000, 2_000_000):
+        b = segment_by_geographical_proximity(pts, regions, dist)
+        g = segment_by_geographical_proximity(pts, regions, dist, strategy="grid")
+        got_b = {(r["id"], r["region"]) for r in b.collect()}
+        got_g = {(r["id"], r["region"]) for r in g.collect()}
+        assert got_g == got_b, f"dist={dist}"
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_jdbc_roundtrip_via_derby(spark, tmp_path):
     """The JDBC path end-to-end against the Derby engine that ships in
     Spark's own jars — proves the connector contract works when a driver

@@ -136,6 +136,26 @@ def test_check_cliques_both_directions(spark):
         g, bt, needs_both_directions=True).collect()} == {"t"}
 
 
+def test_check_cliques_one_direction_extension_is_not_invalid(spark):
+    """CheckClique.scala intersects the out-fold with the in-fold BEFORE
+    comparing against members: a vertex reachable from every member in
+    only ONE direction is not a valid extension, so the clique stays
+    maximal and must NOT be flagged."""
+    from lynxkite_spark.operators.cliques import check_cliques
+
+    # 0 <-> 1 is a maximal both-direction clique; vertex 2 is an
+    # out-only candidate (0->2, 1->2) — in ∩out-sets but not ∩in-sets.
+    g = Graph(
+        vertices=spark.createDataFrame([Row(id=i) for i in range(3)]),
+        edges=spark.createDataFrame(
+            [Row(src=0, dst=1), Row(src=1, dst=0),
+             Row(src=0, dst=2), Row(src=1, dst=2)]
+        ),
+    )
+    bt = spark.createDataFrame([Row(clique_id="c", id=i) for i in range(2)])
+    assert check_cliques(g, bt, needs_both_directions=True).count() == 0
+
+
 def test_basic_stats(spark, clique_graph):
     from lynxkite_spark.operators.scalars import basic_stats
 

@@ -108,6 +108,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     rows_per_band: int = 4,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signatures and self-join per (band, band-hash) bucket —
     the classic LSH candidate generation: only same-bucket docs meet.
@@ -116,7 +117,18 @@ def minhash_lsh_candidates(
     With ``hash_fn="portable"`` the bucket key is the concatenated band
     values themselves (equality of the concat string == equality of the
     band) so the DuckDB oracle can mirror it; the default compresses the
-    key with xxhash64 for a fixed-width shuffle key."""
+    key with xxhash64 for a fixed-width shuffle key.
+
+    ``max_bucket_size`` is the viral-bucket guard (same as
+    similarity.ann_lsh_topk's): a mega-cluster of near-identical docs
+    puts identical signatures in the same bucket in EVERY band, making
+    the self-join quadratic in the cluster size — at 100 TB a boilerplate
+    cluster of 10^6 docs would emit 10^12 pairs.  Buckets over the cap
+    are counted (one cheap map-side-combinable agg) and semi-joined
+    away BEFORE the pair join; membership of a dropped bucket is still
+    reported by any of the doc's other, smaller buckets, so only
+    clusters that are over-cap in every band lose pairs (exactly the
+    clusters one dedups by exact-hash instead)."""
 
     def band_key(b: int) -> Column:
         concat = F.concat_ws(
@@ -141,6 +153,14 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok, ["band", "bucket"], "left_semi")
     a = banded.select(F.col(id_col).alias("a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("b"), "band", "bucket")
     return (
@@ -161,10 +181,13 @@ def minhash_dedup(
     shingle_k: int = 3,
     hash_fn: str = "xxhash64",
     verify: str = "exact",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → Jaccard
     verify → pairs with jaccard ≥ threshold.
     Returns DataFrame[a, b, jaccard].
+    ``max_bucket_size`` forwards to minhash_lsh_candidates' viral-bucket
+    guard.
 
     ``verify="exact"`` scores candidates with the true shingle-set
     Jaccard (the shingle table is semi-joined down to candidate docs
@@ -175,7 +198,10 @@ def minhash_dedup(
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, hash_fn)
     if verify == "estimate":
         sigs = sigs.persist()
-    cand = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands, hash_fn)
+    cand = minhash_lsh_candidates(
+        sigs, id_col, bands, num_hashes // bands, hash_fn,
+        max_bucket_size=max_bucket_size,
+    )
     if verify == "estimate":
         est = F.aggregate(
             F.zip_with("sa", "sb", lambda x, y: F.when(x == y, 1).otherwise(0)),

@@ -165,22 +165,38 @@ def train_logistic_regression(
 ) -> TrainedModel:
     """Binary logistic regression
     (LogisticRegressionModelTrainer.scala:74-120); statistics carries
-    the per-coefficient z-values."""
+    the per-coefficient z-values.  tol=0 matches the reference trainer:
+    convergence is governed purely by ``max_iterations``, like
+    train_kmeans here.  Like the reference, the decision threshold is
+    swept over the training summary to maximize F-measure
+    (LogisticRegressionModelTrainer.scala's getThreshold)."""
     from pyspark.ml.classification import LogisticRegression
 
     assembled, mappings = _assemble(df, feature_cols, id_col, label_col)
     lr = LogisticRegression(
         maxIter=max_iterations, elasticNetParam=elastic_net_param,
-        regParam=reg_param, featuresCol="features", labelCol="label",
+        regParam=reg_param, tol=0.0, featuresCol="features", labelCol="label",
     )
     model = lr.fit(assembled)
+    # threshold with max training F-measure; ties break on the smaller
+    # threshold for determinism
+    best = (
+        model.summary.fMeasureByThreshold
+        .orderBy(F.desc("F-Measure"), "threshold")
+        .first()
+    )
+    if best is not None and best["F-Measure"] is not None:
+        model.setThreshold(float(best["threshold"]))
     predictions = model.transform(assembled)
     return TrainedModel(
         method="Logistic regression",
         model=model,
         feature_names=feature_cols,
         label_name=label_col,
-        statistics={"z_values": _z_values(model, predictions)},
+        statistics={
+            "z_values": _z_values(model, predictions),
+            "threshold": model.getThreshold(),
+        },
         string_mappings=mappings,
     )
 

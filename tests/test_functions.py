@@ -124,6 +124,39 @@ def test_ngram_jaccard_and_minhash(spark):
     assert ddp == {(1, 2)}
 
 
+def test_minhash_viral_bucket_guard(spark):
+    """A planted cluster of identical docs lands the same signature in
+    the same bucket in EVERY band; without the cap the candidate
+    self-join is quadratic in the cluster (10k docs -> ~50M pairs at
+    100 TB corpus scale).  With max_bucket_size the over-cap buckets are
+    semi-joined away before pairing, while normal-sized near-dup groups
+    keep their pairs."""
+    n_cluster = 60
+    rows = [(i, "identical boilerplate text repeated across the corpus body")
+            for i in range(n_cluster)]
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows += [(1000, base), (1001, base.replace("today", "tomorrow"))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, num_hashes=32)
+
+    uncapped = minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
+    assert uncapped.count() >= n_cluster * (n_cluster - 1) // 2
+
+    capped = minhash_lsh_candidates(
+        sigs, bands=8, rows_per_band=4, max_bucket_size=10)
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    # mega-cluster pairs gone, the honest near-dup pair survives
+    assert (1000, 1001) in got
+    assert not any(a < n_cluster and b < n_cluster for a, b in got)
+
+    # end-to-end forward through minhash_dedup
+    dd = {(r["a"], r["b"]) for r in minhash_dedup(
+        df, num_hashes=32, bands=8, threshold=0.5, max_bucket_size=10
+    ).collect()}
+    assert (1000, 1001) in dd
+    assert not any(a < n_cluster and b < n_cluster for a, b in dd)
+
+
 def test_simhash(spark):
     df = spark.createDataFrame(
         [(1, "aaa bbb ccc ddd"), (2, "aaa bbb ccc ddd"), (3, "zzz yyy xxx www")],

@@ -366,7 +366,46 @@ def test_ann_banded_profiles(spark, embs):
     r_high = recall(profile="high_recall")
     assert r_default > r_single
     assert r_high >= 0.8
-    assert r_high >= r_default
+    # the auto default measures the (lack of) neighbor signal and picks a
+    # high-recall geometry on this corpus — no more 0.2-recall defaults
+    assert r_default >= 0.8
+
+
+def test_ann_auto_band_geometry(spark):
+    """auto_band_geometry reads the corpus's neighbor signal: a tightly
+    clustered corpus gets the cheap wide-band geometry, a structure-free
+    corpus falls back to the high-recall floor."""
+    import math
+    import random
+
+    from lynxkite_spark.functions.similarity import (
+        _BAND_MENU, auto_band_geometry)
+
+    rng = random.Random(3)
+    dim = 16
+
+    def vec(center, spread):
+        return [c + rng.gauss(0, spread) for c in center]
+
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(8)]
+    clustered = spark.createDataFrame(
+        [(i, vec(centers[i % 8], 0.05)) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = clustered.where(F.col("vec_id") < 16)
+    r, b = auto_band_geometry(clustered, qs, k=5)
+    assert (r, b) == _BAND_MENU[0]  # strong signal -> cheapest geometry
+
+    noise = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    qn = noise.where(F.col("vec_id") < 16)
+    r2, b2 = auto_band_geometry(noise, qn, k=5)
+    assert r2 < r  # weak signal -> narrower bands, more of them
+    # expected-recall formula sanity: the pick meets the target for the
+    # p it measured, by construction
+    assert (r2, b2) in _BAND_MENU
 
 
 def test_ann_viral_bucket_guard(spark, embs):

@@ -224,3 +224,82 @@ def derive_python(
             defined = defined & F.col(d).isNotNull()
         col = F.when(defined, col)
     return df.withColumn(name, col)
+
+
+def partition_attribute(
+    df: DataFrame, attr: str, role: str = "role"
+) -> tuple[DataFrame, DataFrame]:
+    """PartitionAttribute.scala:23-40 — split one attribute into (test,
+    train) by a string role attribute: each side carries ``attr`` only
+    where its role matches (elsewhere the attribute is undefined, i.e.
+    the row is absent, matching the reference's partial attributes).
+    Returns (test_df, train_df), both DataFrame[id, attr] — two filtered
+    projections, no shuffle, filters pushed to the scan."""
+    base = df.where(F.col(attr).isNotNull() & F.col(role).isNotNull())
+    test = base.where(F.col(role) == "test").select("id", attr)
+    train = base.where(F.col(role) == "train").select("id", attr)
+    return test, train
+
+
+def derive_table_python(
+    df: DataFrame,
+    fn,
+    output_schema: str,
+    input_cols: list[str] | None = None,
+) -> DataFrame:
+    """DeriveTablePython.scala analog: arbitrary user Python producing a
+    whole new table from an input table.  The reference ships the table
+    to a Python subprocess on Sphynx (single-node pandas) and pins the
+    output schema from declared outputFields; here ``fn`` is
+    ``pandas.DataFrame -> pandas.DataFrame`` applied per Arrow batch via
+    ``mapInPandas`` — the user code runs on every executor in parallel,
+    and ``output_schema`` (a DDL string, e.g. ``"id long, score
+    double"``) is the declared-fields contract.
+
+    Per-batch semantics are the scale contract: ``fn`` sees a bounded
+    batch, never the whole table, so driver memory is never the limit
+    (the reference's single-process pandas IS limited this way).  Row
+    counts may change (filter/explode-style derivations are fine).
+    ``input_cols`` prunes the scan to the named columns first —
+    keep it tight so column pruning reaches the parquet reader."""
+
+    def run(batches):
+        for pdf in batches:
+            out = fn(pdf)
+            if out is not None and len(out):
+                yield out
+
+    src = df.select(*input_cols) if input_cols else df
+    return src.mapInPandas(run, schema=output_schema)
+
+
+def derive_table_from_graph_python(
+    graph,
+    fn,
+    output_schema: str,
+) -> DataFrame:
+    """DeriveTableFromGraphPython.scala analog: user Python over a
+    graph's (vertices, edges) producing a table.  The reference hands
+    the whole graph to one Python process; at Spark scale only the
+    vertex side streams through ``fn`` per batch, with the edge table
+    exposed via the closure — for whole-graph logic compose the
+    DataFrame API directly instead.  ``fn`` is ``(vertices_batch:
+    pandas.DataFrame) -> pandas.DataFrame``."""
+    return derive_table_python(graph.vertices, fn, output_schema)
+
+
+def create_graph_in_python(spark, fn, vertex_schema: str, edge_schema: str):
+    """CreateGraphInPython.scala analog: user Python code builds a graph
+    from nothing (the reference runs ``code`` in a Python process and
+    reads back vs/es/attrs; here ``fn`` returns two pandas DataFrames).
+    ``fn() -> (vertices_pdf, edges_pdf)``; edges must have src/dst.
+    Driver-side by design — this is a constructor for small/synthetic
+    graphs (the reference's use case), not a distributed op; for
+    distributed generation use operators.generators."""
+    from ..graph import Graph
+
+    v_pdf, e_pdf = fn()
+    v = spark.createDataFrame(v_pdf, schema=vertex_schema)
+    e = spark.createDataFrame(e_pdf, schema=edge_schema)
+    assert "src" in e.columns and "dst" in e.columns, "edges need src/dst"
+    return Graph(vertices=v, edges=e)

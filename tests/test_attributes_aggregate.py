@@ -172,3 +172,56 @@ def test_derive_expression_and_python(spark):
     assert out3[2] is None and out3[3] is None
     plan = derive_python(df, "h", hyp, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan  # vectorized, not BatchEvalPython
+
+
+def test_derive_table_python(spark):
+    """DeriveTablePython analog: whole-table user Python via
+    mapInPandas — schema pinned by the declared DDL, row counts may
+    shrink (filter) or grow (explode), and the exchange is Arrow
+    (MapInPandas node), never row-at-a-time Python."""
+    import pandas as pd
+
+    from lynxkite_spark.operators.attributes import derive_table_python
+
+    df = spark.createDataFrame(
+        [(i, f"word {'x ' * i}") for i in range(10)],
+        "id long, text string",
+    )
+
+    def filt(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = pdf["text"].str.strip().str.split(r"\s+", regex=True).str.len()
+        out = pd.DataFrame({"id": pdf["id"], "n": n.astype("int64")})
+        return out[out["n"] >= 5]
+
+    got = {r["id"]: r["n"] for r in
+           derive_table_python(df, filt, "id long, n long",
+                               input_cols=["id", "text"]).collect()}
+    assert got == {i: i + 1 for i in range(4, 10)}
+
+    # row-growing derivation (explode-style)
+    def dup(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat([pdf[["id"]], pdf[["id"]]])
+
+    assert derive_table_python(df, dup, "id long").count() == 20
+
+    out = derive_table_python(df, filt, "id long, n long", input_cols=["id", "text"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
+def test_create_graph_in_python(spark):
+    import pandas as pd
+
+    from lynxkite_spark.operators.attributes import create_graph_in_python
+    from lynxkite_spark.operators.degrees import degree
+
+    def build():
+        v = pd.DataFrame({"id": [0, 1, 2], "name": ["a", "b", "c"]})
+        e = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 0]})
+        return v, e
+
+    g = create_graph_in_python(
+        spark, build, "id long, name string", "src long, dst long")
+    assert g.vertices.count() == 3 and g.edges.count() == 3
+    degs = {r["id"]: r["degree"] for r in degree(g, direction="out").collect()}
+    assert degs == {0: 1, 1: 1, 2: 1}

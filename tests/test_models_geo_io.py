@@ -194,6 +194,38 @@ def test_geographical_proximity_haversine(spark):
     assert got == {(1, "paris")}
 
 
+def test_partition_attribute_train_test_workflow(spark):
+    """PartitionAttribute.scala: split an attribute by role, train on
+    the train side, score MAPE on the held-out test side — the
+    reference's standard ML workflow shape."""
+    from lynxkite_spark.models import predict_from_model, train_regression
+    from lynxkite_spark.operators.attributes import partition_attribute
+
+    rows = [(i, float(i), 3.0 * i + 1.0,
+             "train" if i % 3 else "test") for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "id long, x double, y double, role string")
+
+    test_y, train_y = partition_attribute(df, "y")
+    assert test_y.count() == 20 and train_y.count() == 40
+    assert {r["role"] for r in df.join(test_y.select("id"), "id").select("role").distinct().collect()} == {"test"}
+
+    # role=null / attr=null rows are undefined on both sides
+    df2 = df.unionByName(spark.createDataFrame(
+        [(100, 1.0, None, "test"), (101, 1.0, 2.0, None)],
+        "id long, x double, y double, role string"))
+    t2, tr2 = partition_attribute(df2, "y")
+    assert t2.count() == 20 and tr2.count() == 40
+
+    train_df = df.join(train_y.select("id"), "id", "left_semi")
+    m = train_regression(train_df, ["x"], "y")
+    preds = predict_from_model(m, df.join(test_y.select("id"), "id", "left_semi"))
+    scored = preds.join(df, "id").select(
+        "prediction", F.col("y").alias("label"))
+    mape = scored.agg(F.avg(
+        F.abs(F.col("prediction") / F.col("label") - 1.0)) * 100).first()[0]
+    assert mape < 1.0  # exact linear data -> near-zero held-out error
+
+
 def test_geographical_proximity_antimeridian_wrap(spark):
     """A vertex at lon 179.9 and a region at -179.9 are ~0.2 deg apart;
     the bounding prefilter must wrap the lon delta instead of seeing

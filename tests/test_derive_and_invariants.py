@@ -9,6 +9,46 @@ from lynxkite_spark.derive import derive_file_edges, derive_repo_edges
 from lynxkite_spark.graph import Graph
 from lynxkite_spark.operators import connected_components, pagerank
 from lynxkite_spark.plans.checkpoint import CheckpointManager, step_key, table_fingerprint
+from lynxkite_spark.plans.snapshots import SnapshotRegistry, well_known_datasets
+
+
+def test_named_snapshots_roundtrip(spark, tmp_path):
+    """ImportOperations.scala:431-453: named, listable saved states —
+    save/load/list/delete plus graph snapshots and version history."""
+    from lynxkite_spark.graph import example_graph
+
+    reg = SnapshotRegistry(CheckpointManager(spark, str(tmp_path / "snap")))
+    df = spark.range(5).withColumn("v", F.col("id") * 2)
+    key1 = reg.save("mytable", df)
+    back = reg.load("mytable")
+    assert {(r["id"], r["v"]) for r in back.collect()} == {(i, 2 * i) for i in range(5)}
+
+    names = [e["name"] for e in reg.list()]
+    assert "mytable" in names
+
+    # overwrite=False collides; overwrite re-points and keeps history
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        reg.save("mytable", df, overwrite=False)
+    df2 = spark.range(3)
+    key2 = reg.save("mytable", df2)
+    assert key2 != key1
+    assert reg.load("mytable").count() == 3
+    assert reg.load("mytable", version=key1).count() == 5  # time travel
+
+    g = example_graph(spark)
+    reg.save_graph("eg", g)
+    g2 = reg.load_graph("eg")
+    assert g2.vertices.count() == g.vertices.count()
+    assert g2.edges.count() == g.edges.count()
+
+    reg.delete("mytable")
+    assert "mytable" not in [e["name"] for e in reg.list()]
+    with _pytest.raises(KeyError):
+        reg.load("mytable")
+
+    wk = well_known_datasets(spark)
+    assert wk["example graph"]().vertices.count() == 4
 
 
 @pytest.fixture(scope="module")

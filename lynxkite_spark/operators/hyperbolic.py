@@ -225,6 +225,230 @@ def _probability(temperature: float, exponent: float, external: float) -> Column
     )
 
 
+def _np_probability(r1, a1, o1, r2, a2, temperature, exponent, external):
+    """numpy twin of _probability (HyperDistance.probability) — used by
+    the HyperMap likelihood search, broadcasting over (rows, samples)."""
+    import numpy as np
+
+    pi = math.pi
+    ph = pi - np.abs(pi - np.abs(a1 - a2))
+    with np.errstate(divide="ignore"):
+        dist = r1 + r2 + 2 * np.log(ph / 2)
+    inv_exp = (1 / (1 - exponent)) * (1 - o1 ** -(1 - exponent))
+    first = (2 * temperature) / math.sin(temperature * pi)
+    arg = first * inv_exp / external
+    with np.errstate(divide="ignore", over="ignore"):
+        expected = r1 - 2 * np.where(arg > 0, np.log(np.maximum(arg, 1e-300)), 0.0)
+        p = np.where(
+            arg <= 0,
+            1.0,
+            1.0 / (1.0 + np.exp(np.clip((dist - expected) / (2 * temperature),
+                                        -700, 700))),
+        )
+    return p
+
+
+def _ml_angular(ords, offsets, adj_mask, s_radial, s_angular,
+                temperature, exponent, external, iterations):
+    """HyperMap.maximumLikelihoodRecursion, vectorized over a batch of
+    vertices: bisection on the angular coordinate, comparing the
+    PSO-model likelihood of the vertex's observed links/non-links to the
+    fixed sample list at the two quarter points each round.
+
+    ords: (n,) appearance ords; offsets: (n,) random angular offsets;
+    adj_mask: (n, s) bool — does vertex i link to sample j;
+    s_radial/s_angular: (s,) sample coordinates.  Returns (n,) angular."""
+    import numpy as np
+
+    n = len(ords)
+    cw = np.full(n, 2 * math.pi)
+    ccw = np.zeros(n)
+    radial = 2 * np.log(ords)
+    best = np.zeros(n)
+
+    def norm(a):
+        return np.where(a > 2 * math.pi, a - 2 * math.pi, a)
+
+    def loglik(ang):
+        # (n, s) link probabilities at candidate angular `ang`
+        p = _np_probability(
+            radial[:, None], ang[:, None], ords[:, None],
+            s_radial[None, :], s_angular[None, :],
+            temperature, exponent, external,
+        )
+        p = np.clip(p, 1e-15, 1 - 1e-15)
+        return np.where(adj_mask, np.log(p), np.log1p(-p)).sum(axis=1)
+
+    for _ in range(iterations + 1):
+        span = cw - ccw
+        top = norm(cw - span / 4 + offsets)
+        bottom = norm(ccw + span / 4 + offsets)
+        top_wins = loglik(top) > loglik(bottom)
+        new_cw = np.where(top_wins, cw, ccw + span / 2)
+        new_ccw = np.where(top_wins, cw - span / 2, ccw)
+        best = np.where(top_wins, top, bottom)
+        cw, ccw = new_cw, new_ccw
+    return best
+
+
+def _hash_u(x: int, seed: int) -> float:
+    """Driver-side value-derived uniform in [0,1) — deterministic, no
+    RNG state (the distributed twin uses xxhash64 the same way)."""
+    import hashlib
+
+    h = hashlib.md5(f"{x}|{seed}".encode()).hexdigest()
+    return int(h[:12], 16) / float(1 << 48)
+
+
+def hyper_map(
+    graph: Graph,
+    seed: int = 42,
+    degrees: DataFrame | None = None,
+) -> DataFrame:
+    """HyperMap.scala:39-160 — fit hyperbolic (radial, angular)
+    coordinates to an existing undirected graph (arXiv:1205.4384):
+    radial from the degree rank (popularity), angular by maximizing the
+    PSO-model likelihood of each vertex's links against a ~log n sample
+    of landmark vertices.
+
+    The reference COLLECTS the whole edge list and walks vertices on the
+    driver (HyperMap.scala:105-131 collectedEdges).  Spark-first split:
+    the O(log n) greedy landmark placement stays driver-side (inherently
+    sequential, exactly the part the reference's paper serializes); the
+    placement of every OTHER vertex is independent given the landmarks,
+    so it runs as one Arrow-batched pandas UDF over (ord, links-to-
+    samples) — the only data movement is a semi-join of the edge table
+    onto the ~log n sample ids, never a full collect.  Temperature and
+    exponent are inferred exactly like the reference (clustering-based
+    guess clamped to (0, 0.85]; log-log degree endpoints).
+
+    Returns DataFrame[id, radial, angular]."""
+    import numpy as np
+    import pandas as pd
+
+    from lynxkite_spark.operators.clustering import clustering_coefficient
+    from lynxkite_spark.operators.degrees import degree as degree_op
+
+    n = graph.vertices.count()
+    log_n = math.log(max(n, 2))
+    deg = degrees if degrees is not None else degree_op(graph, direction="all")
+    avg_deg = deg.agg(F.avg("degree")).first()[0] or 1.0
+    avg_clus = (clustering_coefficient(graph).agg(
+        F.sum("clustering_coefficient")).first()[0] or 0.0) / n
+    guess = (0.9 - avg_clus) * 4 + 0.1
+    temperature = guess if 0 < guess < 0.85 else 0.85
+    stats = deg.where(F.col("degree") > 0).agg(
+        F.max("degree").alias("hi"), F.min("degree").alias("lo")).first()
+    bottom_count = deg.where(F.col("degree") == stats["lo"]).count()
+    gamma = (
+        math.log(max(bottom_count, 1))
+        / (math.log(stats["hi"]) - math.log(stats["lo"]))
+        if stats["hi"] > stats["lo"] else 0.0
+    )
+    exponent = 1 / (gamma - 1) if 2 < gamma < 3 else 0.6
+
+    # degree-descending appearance order; ord = rank + ⌊ln n⌋
+    # (popularity fading without correction steps, HyperMap.scala:60-62)
+    wo = W.orderBy(F.col("degree").desc(), F.col("id").asc())
+    ordered = deg.select(
+        "id",
+        (F.row_number().over(wo) - 1 + int(log_n)).cast("double").alias("ord"),
+    )
+    # landmark sample: every early (high-degree) vertex, plus a
+    # value-derived thinning favoring early ordinals (HyperMap.scala:90-97)
+    u = (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(1 << 40))
+         / F.lit(float(1 << 40)))
+    is_sample = (F.col("ord") < 2 * log_n) | (
+        u * F.col("ord") < F.log(F.col("ord")))
+    ordered = ordered.withColumn("_s", is_sample).localCheckpoint(eager=False)
+    samples = sorted(
+        [(r["id"], r["ord"]) for r in ordered.where("_s").collect()],
+        key=lambda t: t[1],
+    )
+    sample_ids = [s[0] for s in samples]
+
+    # symmetric, loop-free edges restricted to sample endpoints
+    e = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    among = sym.where(
+        F.col("src").isin(sample_ids) & F.col("dst").isin(sample_ids)
+    ).distinct().collect()
+    sample_adj: dict = {}
+    for r in among:
+        sample_adj.setdefault(r["src"], set()).add(r["dst"])
+
+    # greedy driver-side landmark placement, in appearance order
+    iterations = int(math.ceil(log_n))
+    placed_r: list[float] = []
+    placed_a: list[float] = []
+    placed_ids: list = []
+    for sid, sord in samples:
+        radial = 2 * math.log(sord)
+        if not placed_ids:
+            angular = 2 * math.pi * _hash_u(0, seed)
+        else:
+            mask = np.array(
+                [[pid in sample_adj.get(sid, ()) for pid in placed_ids]])
+            angular = float(_ml_angular(
+                np.array([sord]),
+                np.array([2 * math.pi * _hash_u(sid, seed)]),
+                mask, np.array(placed_r), np.array(placed_a),
+                temperature, exponent, avg_deg, iterations,
+            )[0])
+        placed_ids.append(sid)
+        placed_r.append(radial)
+        placed_a.append(angular)
+    coords_by_id = dict(zip(placed_ids, zip(placed_r, placed_a)))
+    s_radial = np.array(placed_r)
+    s_angular = np.array(placed_a)
+    sample_index = {sid: i for i, sid in enumerate(placed_ids)}
+
+    # distributed phase: links-to-samples per vertex (semi-join, small
+    # broadcast of log n ids), then one vectorized UDF pass
+    links = (
+        sym.where(F.col("dst").isin(sample_ids))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.collect_set("dst").alias("_nbrs"))
+    )
+    rest = (
+        ordered.where(~F.col("_s"))
+        .join(links, "id", "left")
+        .select("id", "ord", "_nbrs")
+    )
+
+    def place(ids, ords, nbrs):
+        m = len(ids)
+        mask = np.zeros((m, len(placed_ids)), dtype=bool)
+        for i, lst in enumerate(nbrs):
+            if lst is None:
+                continue
+            for v in lst:
+                j = sample_index.get(v)
+                if j is not None:
+                    mask[i, j] = True
+        offsets = np.array(
+            [2 * math.pi * _hash_u(int(v), seed) for v in ids])
+        return pd.Series(_ml_angular(
+            ords.to_numpy(dtype=float), offsets, mask, s_radial, s_angular,
+            temperature, exponent, avg_deg, iterations,
+        ))
+
+    place_udf = F.pandas_udf(place, "double")
+    rest_out = rest.select(
+        "id",
+        (2 * F.log("ord")).alias("radial"),
+        place_udf(F.col("id"), F.col("ord"), F.col("_nbrs")).alias("angular"),
+    )
+    spark = graph.vertices.sparkSession
+    sample_out = spark.createDataFrame(
+        [(sid, float(r), float(a)) for sid, (r, a) in coords_by_id.items()],
+        "id long, radial double, angular double",
+    )
+    return rest_out.unionByName(sample_out)
+
+
 def hyperbolic_prediction(
     coords: DataFrame,
     size: int,

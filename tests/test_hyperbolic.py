@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from lynxkite_spark.graph import Graph
 from lynxkite_spark.operators.hyperbolic import (
+    hyper_map,
     hyperbolic_distance,
     hyperbolic_edge_probability,
     hyperbolic_prediction,
@@ -86,6 +87,57 @@ def test_edge_probability_orders_by_distance(spark, pso):
 
     scored = sorted(((dist(r["src"], r["dst"]), r["probability"]) for r in rows))
     assert scored[0][1] > scored[-1][1]
+
+
+def test_hyper_map_recovers_pso_geometry(spark, pso):
+    """HyperMap.scala: fit (radial, angular) to a PSO-grown graph.  The
+    embedding is only identified up to rotation/reflection, so the check
+    is geometric: inferred hyperbolic distance over TRUE edges must be
+    clearly smaller than over random non-edges, and radial must follow
+    the degree ranking."""
+    coords, edges = pso
+    g = Graph(vertices=coords.select("id"), edges=edges)
+    fitted = hyper_map(g, seed=5)
+    assert fitted.count() == coords.count()
+    c = {r["id"]: (r["radial"], r["angular"]) for r in fitted.collect()}
+    assert all(v[0] > 0 for v in c.values())
+    assert all(0 <= v[1] <= 2 * math.pi for v in c.values())
+
+    def dist(a, b):
+        p = math.pi - abs(math.pi - abs(c[a][1] - c[b][1]))
+        return c[a][0] + c[b][0] + 2 * math.log(max(p, 1e-12) / 2)
+
+    epairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    eset = set(epairs)
+    ids = sorted(c)
+    import random
+    rng = random.Random(0)
+    non = []
+    while len(non) < len(epairs):
+        a, b = rng.choice(ids), rng.choice(ids)
+        if a != b and (a, b) not in eset:
+            non.append((a, b))
+    d_edge = sum(dist(a, b) for a, b in epairs) / len(epairs)
+    d_non = sum(dist(a, b) for a, b in non) / len(non)
+    assert d_edge < d_non - 1.0  # clear separation in avg distance
+
+    # radial ordering = degree ordering (high degree -> small radius)
+    from lynxkite_spark.operators.degrees import degree
+    degs = {r["id"]: r["degree"]
+            for r in degree(g, direction="all").collect()}
+    hi = max(ids, key=lambda i: degs[i])
+    lo = min(ids, key=lambda i: degs[i])
+    assert c[hi][0] < c[lo][0]
+
+
+def test_hyper_map_partition_invariant(spark, pso):
+    coords, edges = pso
+    g1 = Graph(vertices=coords.select("id"), edges=edges)
+    g2 = Graph(vertices=coords.select("id").repartition(7),
+               edges=edges.repartition(5))
+    f1 = {tuple(r) for r in hyper_map(g1, seed=5).collect()}
+    f2 = {tuple(r) for r in hyper_map(g2, seed=5).collect()}
+    assert f1 == f2
 
 
 def test_hyperbolic_prediction(spark, pso):

@@ -164,6 +164,110 @@ def segmentation_to_edges(belongs_to: DataFrame, min_overlap: int = 1) -> DataFr
     )
 
 
+def segmentation_to_edges_for_cc(
+    belongs_to: DataFrame, min_overlap: int = 1
+) -> DataFrame:
+    """SetOverlapForCC.scala:36-130 — edges between overlapping segments
+    with a weaker-but-cheaper contract: NOT all justified edges, only
+    enough that connected components over the output equal CC over the
+    full SetOverlap graph.  This is the reference's performant variant
+    for heavily-overlapping segmentations (infocom community search),
+    where the plain member self-join pays quadratic per shared member.
+
+    ``min_overlap == 1``: a pure-SQL star per member — each vertex links
+    its lexicographically-smallest segment to its other segments, m−1
+    edges instead of m·(m−1)/2 per m-segment member; sharing ≥1 member
+    is exactly edge-connectivity, so components are preserved.
+
+    ``min_overlap > 1``: the reference's per-member bucket algorithm —
+    each member's bucket holds its segments' sorted member arrays; pairs
+    are verified by sorted-merge intersection, deduplicated across
+    buckets by the pair's minimal common element (only the bucket of
+    that minimal member emits), and pruned by a BFS so a segment whose
+    in-bucket component is known stops generating checks.  Runs as
+    applyInPandas per member bucket — the same shuffle volume as the
+    reference's groupByKey, with the quadratic verify bounded per
+    bucket and each qualifying pair verified once globally.
+
+    Returns symmetric DataFrame[src, dst] (no overlap counts — the
+    contract is component parity, not pair enumeration)."""
+    if min_overlap <= 1:
+        w_min = F.min("segment").over(W.partitionBy("id"))
+        starred = belongs_to.select(
+            "id", "segment", w_min.alias("_hub")
+        ).where(F.col("segment") != F.col("_hub"))
+        one_dir = starred.select(
+            F.col("_hub").alias("src"), F.col("segment").alias("dst")
+        ).distinct()
+        return one_dir.unionByName(
+            one_dir.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
+    import pandas as pd
+
+    members = belongs_to.groupBy("segment").agg(
+        F.sort_array(F.collect_set("id")).alias("_members")
+    )
+    buckets = belongs_to.join(members, "segment").select(
+        "id", "segment", "_members"
+    )
+
+    def edges_for(pdf: pd.DataFrame) -> pd.DataFrame:
+        vid = pdf["id"].iloc[0]
+        segs = list(zip(pdf["segment"], [list(m) for m in pdf["_members"]]))
+        out_src, out_dst = [], []
+
+        def min_intersection(a: list, b: list):
+            """Sorted-merge intersection test; returns the minimal common
+            element iff |a ∩ b| ≥ min_overlap, else None."""
+            ai = bi = hits = 0
+            smallest = None
+            while ai < len(a) and bi < len(b):
+                if a[ai] == b[bi]:
+                    hits += 1
+                    if smallest is None or a[ai] < smallest:
+                        smallest = a[ai]
+                    if hits >= min_overlap:
+                        return smallest
+                    ai += 1
+                    bi += 1
+                elif a[ai] < b[bi]:
+                    ai += 1
+                else:
+                    bi += 1
+            return None
+
+        remaining = list(range(len(segs)))
+        while remaining:
+            todo = [remaining[0]]
+            while todo:
+                current = todo.pop(0)
+                kept = []
+                for other in remaining:
+                    if other == current:
+                        continue
+                    minimal = min_intersection(segs[current][1], segs[other][1])
+                    if minimal is None:
+                        kept.append(other)
+                    else:
+                        todo.append(other)
+                        # the bucket of the minimal common member owns
+                        # this pair — every other shared member's bucket
+                        # skips it (or a path exists there already)
+                        if minimal >= vid:
+                            out_src += [segs[current][0], segs[other][0]]
+                            out_dst += [segs[other][0], segs[current][0]]
+                remaining = kept
+        return pd.DataFrame({"src": out_src, "dst": out_dst})
+
+    seg_type = dict(belongs_to.dtypes)["segment"]
+    return (
+        buckets.groupBy("id")
+        .applyInPandas(edges_for, schema=f"src {seg_type}, dst {seg_type}")
+        .distinct()
+    )
+
+
 def vertex_set_union(*vertex_sets: DataFrame) -> DataFrame:
     """Unions.scala:32 — disjoint union with deterministic re-numbering:
     new id = xxhash64(set index, old id)."""

@@ -103,6 +103,65 @@ def test_segmentation_overlap(spark):
     assert out == {(100, 200): 2}
 
 
+def test_set_overlap_for_cc_component_parity(spark):
+    """SetOverlapForCC: the cheap variant must yield the same connected
+    components as the full SetOverlap graph, at both min_overlap levels,
+    on a heavy-overlap fixture — while emitting far fewer edges."""
+    import itertools
+    import random
+
+    from lynxkite_spark.graph import Graph
+    from lynxkite_spark.operators.components import connected_components
+    from lynxkite_spark.operators.structure import segmentation_to_edges_for_cc
+
+    rng = random.Random(11)
+    rows = []
+    # two heavy-overlap families of 20 segments over shared member pools
+    # (every pair overlaps a lot), plus sparse random segments
+    for fam, base in ((0, 100), (1, 500)):
+        pool = list(range(base, base + 30))
+        for s in range(20):
+            for m in rng.sample(pool, 12):
+                rows.append((m, fam * 1000 + s))
+    for s in range(40, 60):
+        for m in rng.sample(range(1000, 1100), 3):
+            rows.append((m, 2000 + s))
+    bt = spark.createDataFrame(rows, "id long, segment long").distinct()
+
+    def components(edges_df):
+        segs = bt.select(F.col("segment").alias("id")).distinct()
+        g = Graph(vertices=segs, edges=edges_df.select("src", "dst"))
+        comp = {r["id"]: r["component"]
+                for r in connected_components(g).collect()}
+        groups: dict = {}
+        for k, v in comp.items():
+            groups.setdefault(v, set()).add(k)
+        return {frozenset(v) for v in groups.values()}
+
+    for k in (1, 2, 5):
+        full = segmentation_to_edges(bt, k).select(
+            "src", "dst")
+        cheap = segmentation_to_edges_for_cc(bt, k)
+        assert components(full) == components(cheap), f"min_overlap={k}"
+        # bounded output: the heavy-overlap families must not enumerate
+        # all pairs (full graph has ~2*190 pairs just in the families)
+        if k > 1:
+            assert cheap.count() < 2 * full.count()
+
+    # planted worst case: 30 identical segments (every pair qualifies).
+    # Full enumeration = 435 pairs; the CC variant emits a linear number.
+    ident = spark.createDataFrame(
+        [(m, s) for s in range(30) for m in range(10)],
+        "id long, segment long",
+    )
+    full_n = segmentation_to_edges(ident, 5).count()
+    cheap_n = segmentation_to_edges_for_cc(ident, 5).count() // 2
+    assert full_n == 435
+    assert cheap_n <= 2 * 29  # spanning-star scale, not quadratic
+    assert components(segmentation_to_edges(ident, 5).select("src", "dst")) == \
+        components(segmentation_to_edges_for_cc(ident, 5))
+
+
 def test_vertex_set_union_disjoint_renumber(spark):
     a = spark.createDataFrame([(1,), (2,)], "id long")
     b = spark.createDataFrame([(1,), (3,)], "id long")

@@ -96,10 +96,12 @@ def type_mismatches(spark_df, con, sql: str) -> list[str]:
     return probs
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark(app_name="oracle_check")
+def run_checks(sf_dir: str, only: set | None = None, spark=None) -> list[str]:
+    """Run the oracle comparison for the named queries (all when None);
+    returns the list of failing query names.  Importable so pytest can
+    keep the tail queries (past the external driver's 50-entry window)
+    under continuous verification."""
+    spark = spark or get_spark(app_name="oracle_check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -151,6 +153,13 @@ def main():
             print(f"PASS  {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
         else:
             failures.append(name)
+    return failures
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    failures = run_checks(sf_dir, only)
     print()
     if failures:
         print("FAILURES:", failures)

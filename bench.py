@@ -135,29 +135,68 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     q = embs.where(F.col("vec_id") < 100)
     t0 = time.time()
     bf = brute_force_topk(embs, q, k=10).select("query_id", "neighbor_id")
+    bf = bf.persist()
     bf_rows = bf.count()
     times["q_emb_bruteforce_topk"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    ann = ann_lsh_topk(embs, q, k=10).select("query_id", "neighbor_id")
-    ann.count()
-    times["q_emb_ann_lsh"] = round(time.time() - t0, 3)
+    # recall@10 vs exact ground truth — a quality gate, not just cost.
+    # Each profile's timer covers ONLY candidate generation + top-k (the
+    # recall join is timed separately, ADVICE r3), and every recall key
+    # is suffixed with the profile it measures.
+    def ann_pass(key, **kw):
+        t0 = time.time()
+        a = ann_lsh_topk(embs, q, k=10, **kw).select(
+            "query_id", "neighbor_id").persist()
+        a.count()
+        times[f"q_emb_ann_{key}"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        hits = a.join(bf, ["query_id", "neighbor_id"]).count()
+        times[f"q_emb_ann_{key}_recall_join"] = round(time.time() - t0, 3)
+        extra[f"ann_recall_at_10_{key}"] = round(hits / max(bf_rows, 1), 3)
+        a.unpersist()
 
-    # recall@10 vs exact ground truth — VERDICT r2 item 5: a quality
-    # gate, not just cost.  Two profiles are measured because this
-    # synthetic corpus has near-zero neighborhood structure (rank-10
-    # cosine ~0.32 vs random-pair max ~0.30, measured in
-    # BENCH/BASELINE.md): "balanced" is the production geometry,
-    # "high_recall" shows the engine reaches >=0.8 recall when asked.
-    hits = ann.join(bf, ["query_id", "neighbor_id"]).count()
-    extra["ann_recall_at_10_default"] = round(hits / max(bf_rows, 1), 3)
+    # "default" = the auto profile users get with no arguments: it
+    # measures the corpus's neighbor signal on a sample and picks the
+    # cheapest geometry expected to reach recall ~0.9 (this parquet
+    # corpus is near-structure-free — rank-10 cosine ~0.32 vs random
+    # ~0.30 — so auto lands near the high-recall end and pays the
+    # intrinsic candidate-fraction cost of low-signal data).
+    ann_pass("default")
+    ann_pass("high_recall", profile="high_recall")
+    bf.unpersist()
+    extra["ann_recall_at_10"] = extra["ann_recall_at_10_default"]
 
+    # clustered synthetic corpus: the realistic case, WITH neighbor
+    # structure (VERDICT r3 item 4) — the auto default must both pick a
+    # cheap geometry and measure high recall here.
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(200, 64))
+    cvecs = centers[np.arange(20_000) % 200] + 0.12 * rng.normal(
+        size=(20_000, 64))
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(cvecs)],
+        "vec_id long, embedding array<double>",
+    ).persist()
+    cdf.count()
+    cq = cdf.where(F.col("vec_id") < 100)
+    cbf = brute_force_topk(cdf, cq, k=10).select(
+        "query_id", "neighbor_id").persist()
+    cbf_rows = cbf.count()
     t0 = time.time()
-    ann_hr = ann_lsh_topk(embs, q, k=10, profile="high_recall").select(
-        "query_id", "neighbor_id")
-    hits_hr = ann_hr.join(bf, ["query_id", "neighbor_id"]).count()
-    times["q_emb_ann_high_recall"] = round(time.time() - t0, 3)
-    extra["ann_recall_at_10"] = round(hits_hr / max(bf_rows, 1), 3)
+    cann = ann_lsh_topk(cdf, cq, k=10).select(
+        "query_id", "neighbor_id").persist()
+    cann.count()
+    times["q_emb_ann_clustered"] = round(time.time() - t0, 3)
+    chits = cann.join(cbf, ["query_id", "neighbor_id"]).count()
+    extra["ann_recall_at_10_clustered"] = round(chits / max(cbf_rows, 1), 3)
+    from lynxkite_spark.functions.similarity import auto_band_geometry
+
+    extra["ann_auto_geometry_clustered"] = list(
+        auto_band_geometry(cdf, cq, k=10))
+    for d in (cann, cbf, cdf):
+        d.unpersist()
 
     # HLL HyperBall (the scale path that replaced exact all-pairs BFS)
     t0 = time.time()
@@ -229,7 +268,7 @@ def scaling_run() -> dict:
     import statistics
 
     parts = 64
-    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "5"))
     results: dict[int, list[float]] = {2: [], 8: []}
     n_edges = 0
 
@@ -241,22 +280,43 @@ def scaling_run() -> dict:
         spark.stop()
         return eps
 
+    def control_kernel(cores: int) -> float:
+        """Pure-Spark control: a shuffle join + aggregation with ZERO
+        engine code, same partitioning — measures what THIS HOST gives
+        plain Spark SQL at each parallelism, bounding the engine's own
+        share of any efficiency shortfall (VERDICT r3 item 2)."""
+        spark = get_spark(cores=cores, shuffle_partitions=parts,
+                          app_name=f"ctrl{cores}")
+        n = 40_000_000
+        a = spark.range(n).select(
+            (F.col("id") % 1_000_000).alias("k"), F.col("id").alias("v"))
+        b = spark.range(n // 4).select(
+            (F.col("id") % 1_000_000).alias("k"),
+            (F.col("id") * 3).alias("w"))
+        a.join(b, "k").groupBy("k").count().count()  # warm-up
+        t0 = time.time()
+        a.join(b, "k").groupBy("k").agg(F.sum("v"), F.count("w")).count()
+        dt = time.time() - t0
+        spark.stop()
+        return n / dt
+
     for trial in range(trials):
         order = (2, 8) if trial % 2 == 0 else (8, 2)
         pair = {c: measure(c) for c in order}
         results[2].append(pair[2])
         results[8].append(pair[8])
 
+    # Headline estimator (ADVICE r3): the MEDIAN per-pair efficiency —
+    # pairs are interleaved with alternating in-pair order so monotone
+    # host drift cancels, and the median ignores individual co-tenant
+    # spikes in either direction without directional bias.  The
+    # best-of-N-per-level number (max over trials at each level; the
+    # round-3 headline) is reported alongside as the
+    # interference-floor estimate, with every raw trial committed.
     effs = sorted((t8 / t2) / 4.0 for t2, t8 in zip(results[2], results[8]))
     eff_median = statistics.median(effs)
-    # Headline estimator: best-of-N per level.  Co-tenant interference
-    # on this shared host only ever SUBTRACTS throughput (measured
-    # swings: 2.8x at the same core count between adjacent trials), so
-    # the max over trials is the least-biased estimate of the
-    # interference-free capability at each level — the same reason
-    # wall-time benchmarks report best-of-N.  Median-of-pairs and every
-    # raw number are committed alongside.
     eff_best = (max(results[8]) / max(results[2])) / 4.0
+    ctrl = {c: control_kernel(c) for c in (2, 8)}
     spark = get_spark(cores=32, shuffle_partitions=parts, app_name="bench32")
     eps32, _ = pagerank_throughput(spark)
     spark.stop()
@@ -270,11 +330,14 @@ def scaling_run() -> dict:
         "throughput_eps_32": round(eps32),
         "throughput_eps_2_all": [round(x) for x in results[2]],
         "throughput_eps_8_all": [round(x) for x in results[8]],
-        "scaling_efficiency": round(eff_best, 3),
-        "scaling_efficiency_median_pair": round(eff_median, 3),
+        "scaling_efficiency": round(eff_median, 3),
+        "scaling_efficiency_best_of_n": round(eff_best, 3),
         "scaling_efficiency_all": [round(e, 3) for e in effs],
         "scaling_efficiency_spread": [round(effs[0], 3), round(effs[-1], 3)],
         "scaling_efficiency_8_32": round((eps32 / max(results[8])) / 4.0, 3),
+        "control_rows_per_sec_2": round(ctrl[2]),
+        "control_rows_per_sec_8": round(ctrl[8]),
+        "control_efficiency_2_8": round((ctrl[8] / ctrl[2]) / 4.0, 3),
     }
 
 
@@ -290,14 +353,16 @@ def write_scaling_report(scaling: dict) -> None:
             "shuffle plan — run at N=2 and 4N=8 worker cores (local[2] vs\n"
             "local[8]), with local[32] reported as the single-node headline.\n"
             f"Measured as {scaling['trials']} interleaved 2/8 pairs\n"
-            "(in-pair order alternating). The committed headline is the\n"
-            "BEST-OF-N estimate per level — co-tenant interference on this\n"
-            "shared host only ever subtracts throughput (measured swings of\n"
-            "2.8x at the same core count between adjacent trials), so the\n"
-            "max over trials is the least-biased estimate of the\n"
-            "interference-free capability, exactly like best-of-N wall-time\n"
-            "benchmarking. The median per-pair efficiency and every raw\n"
-            "trial are committed alongside.\n\n"
+            "(in-pair order alternating, so monotone host drift cancels).\n"
+            "The committed HEADLINE is the MEDIAN per-pair efficiency — the\n"
+            "directionally unbiased estimator (ADVICE r3). The best-of-N-\n"
+            "per-level number is reported alongside as the interference-\n"
+            "floor estimate (co-tenant load on this shared host swings\n"
+            "same-core-count throughput up to 2.8x between adjacent trials,\n"
+            "always downward), with every raw trial committed. A pure Spark\n"
+            "SQL join+agg control kernel with zero engine code is measured\n"
+            "at both levels in the same run: its 2→8 efficiency bounds the\n"
+            "host's share of any shortfall vs the engine's.\n\n"
             "| quantity | value |\n|---|---|\n"
             f"| edges | {scaling['edges']} |\n"
             f"| iterations | {scaling['iterations']} |\n"
@@ -308,10 +373,12 @@ def write_scaling_report(scaling: dict) -> None:
             f"| throughput @ local[8] (edges/sec, best-of-{scaling['trials']}) | {scaling['throughput_eps_8']} |\n"
             f"| throughput @ local[8] per trial | {scaling['throughput_eps_8_all']} |\n"
             f"| throughput @ local[32] (edges/sec) | {scaling['throughput_eps_32']} |\n"
-            f"| scaling efficiency 2→8, best-of-N (target ≥ 0.8) | {scaling['scaling_efficiency']} |\n"
-            f"| scaling efficiency 2→8, median per pair | {scaling['scaling_efficiency_median_pair']} |\n"
+            f"| scaling efficiency 2→8, median per pair — HEADLINE (target ≥ 0.8) | {scaling['scaling_efficiency']} |\n"
+            f"| scaling efficiency 2→8, best-of-N per level | {scaling['scaling_efficiency_best_of_n']} |\n"
             f"| scaling efficiency per pair (sorted) | {scaling['scaling_efficiency_all']} |\n"
-            f"| scaling efficiency 8→32 (memory-bus bound, see below) | {scaling['scaling_efficiency_8_32']} |\n\n"
+            f"| scaling efficiency 8→32 (memory-bus bound, see below) | {scaling['scaling_efficiency_8_32']} |\n"
+            f"| control kernel (pure Spark SQL) rows/s @2 / @8 | {scaling['control_rows_per_sec_2']} / {scaling['control_rows_per_sec_8']} |\n"
+            f"| control kernel efficiency 2→8 | {scaling['control_efficiency_2_8']} |\n\n"
             "Efficiency = (throughput_4N / throughput_N) / 4. The 2→8 pair is\n"
             "the N→4N evidence: past ~8 threads this single-socket box is\n"
             "memory-bandwidth bound — a pure Spark SQL join+agg kernel with no\n"

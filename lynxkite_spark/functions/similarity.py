@@ -144,6 +144,8 @@ def auto_band_geometry(
     pairs are farther than the true ones and the pick errs toward more
     recall.  The floor is the (2, 16) high-recall geometry — measured
     recall@10 ≈ 0.95 even on a structure-free corpus."""
+    import math
+
     import numpy as np
 
     def take(df: DataFrame, n: int) -> tuple[list, np.ndarray]:
@@ -158,10 +160,18 @@ def auto_band_geometry(
         m = np.array([r[1] for r in rows], dtype=np.float64)
         return ids, m
 
+    n_total = corpus.count()
     cids, C = take(corpus, corpus_sample)
     qids, Q = take(queries, query_sample)
     if len(cids) <= k or len(qids) == 0:
         return _BAND_MENU[-1]
+    # sample-dilution correction: a 5% corpus sample holds ~5% of each
+    # query's true top-k, so the sample's top-⌈k·frac⌉ pairs are the
+    # right proxies for the full corpus's top-k neighbor distances —
+    # without this the sample's rank-k neighbor is far too distant and
+    # auto over-pays for recall on clustered corpora
+    frac = min(1.0, len(cids) / max(n_total, 1))
+    k = max(1, int(math.ceil(k * frac)))
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     sims = Qn @ Cn.T

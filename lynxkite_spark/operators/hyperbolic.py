@@ -348,11 +348,12 @@ def hyper_map(
     exponent = 1 / (gamma - 1) if 2 < gamma < 3 else 0.6
 
     # degree-descending appearance order; ord = rank + ⌊ln n⌋
-    # (popularity fading without correction steps, HyperMap.scala:60-62)
-    wo = W.orderBy(F.col("degree").desc(), F.col("id").asc())
-    ordered = deg.select(
-        "id",
-        (F.row_number().over(wo) - 1 + int(log_n)).cast("double").alias("ord"),
+    # (popularity fading without correction steps, HyperMap.scala:60-62).
+    # add_ranking range-partitions the sort — no single-reducer window.
+    ordered = add_ranking(
+        deg.select("id", "degree"), "_rk", "degree", ascending=False
+    ).select(
+        "id", (F.col("_rk") + int(log_n)).cast("double").alias("ord")
     )
     # landmark sample: every early (high-degree) vertex, plus a
     # value-derived thinning favoring early ordinals (HyperMap.scala:90-97)

@@ -1627,8 +1627,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (docs_*/embeddings_*), the core graph operators, and every query
     that has not yet appeared green in an official CORRECTNESS file sit
     inside the window.  The tail past position 50 is exclusively queries
-    already recorded green in CORRECTNESS_r02 (centrality variants and
-    the TPC-H tail) — still locally verified by tools/check_oracles.py.
+    already green in an official CORRECTNESS file (r02/r03), and it does
+    NOT rot silently: tests/test_tail_oracles.py re-runs every tail
+    query against its DuckDB oracle at sf0.001 on each pytest run
+    (ADVICE r3), and tools/check_oracles.py covers the full set at any
+    sf on demand.
     """
     return {
         # -- core four + graph build (north rule) --

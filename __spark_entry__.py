@@ -1314,7 +1314,9 @@ def _q_docs_table_udf_filter(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
 
     def quality_filter(pdf: pd.DataFrame) -> pd.DataFrame:
-        s = pdf["text"].str.strip()
+        # NULL text -> 0 tokens -> filtered, matching the oracle's
+        # CASE-yields-NULL -> WHERE-drops-row path
+        s = pdf["text"].fillna("").str.strip()
         n = s.str.split(r"\s+", regex=True).str.len()
         n = n.where(s != "", 0).astype("int64")
         out = pd.DataFrame({"doc_id": pdf["doc_id"], "n_tokens": n})

@@ -111,7 +111,11 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
         minhash_dedup,
         simhash,
     )
-    from lynxkite_spark.functions.similarity import ann_lsh_topk, brute_force_topk
+    from lynxkite_spark.functions.similarity import (
+        ann_lsh_topk,
+        auto_band_geometry,
+        brute_force_topk,
+    )
     from lynxkite_spark.operators.hyperball import hyperball
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -160,8 +164,15 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     # cheapest geometry expected to reach recall ~0.9 (this parquet
     # corpus is near-structure-free — rank-10 cosine ~0.32 vs random
     # ~0.30 — so auto lands near the high-recall end and pays the
-    # intrinsic candidate-fraction cost of low-signal data).
-    ann_pass("default")
+    # intrinsic candidate-fraction cost of low-signal data).  The
+    # geometry measurement is timed on its own key so the q_emb_ann_*
+    # timers stay profile-comparable (candidate gen + top-k only);
+    # in a real pipeline this cost is paid once per corpus (memoized).
+    t0 = time.time()
+    auto_r, auto_b = auto_band_geometry(embs, q, k=10)
+    times["q_emb_ann_auto_geometry"] = round(time.time() - t0, 3)
+    extra["ann_auto_geometry_default"] = [auto_r, auto_b]
+    ann_pass("default", n_planes=auto_r, bands=auto_b)
     ann_pass("high_recall", profile="high_recall")
     bf.unpersist()
     extra["ann_recall_at_10"] = extra["ann_recall_at_10_default"]
@@ -185,16 +196,16 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
         "query_id", "neighbor_id").persist()
     cbf_rows = cbf.count()
     t0 = time.time()
-    cann = ann_lsh_topk(cdf, cq, k=10).select(
+    c_r, c_b = auto_band_geometry(cdf, cq, k=10)
+    times["q_emb_ann_clustered_auto_geometry"] = round(time.time() - t0, 3)
+    extra["ann_auto_geometry_clustered"] = [c_r, c_b]
+    t0 = time.time()
+    cann = ann_lsh_topk(cdf, cq, k=10, n_planes=c_r, bands=c_b).select(
         "query_id", "neighbor_id").persist()
     cann.count()
     times["q_emb_ann_clustered"] = round(time.time() - t0, 3)
     chits = cann.join(cbf, ["query_id", "neighbor_id"]).count()
     extra["ann_recall_at_10_clustered"] = round(chits / max(cbf_rows, 1), 3)
-    from lynxkite_spark.functions.similarity import auto_band_geometry
-
-    extra["ann_auto_geometry_clustered"] = list(
-        auto_band_geometry(cdf, cq, k=10))
     for d in (cann, cbf, cdf):
         d.unpersist()
 

@@ -257,8 +257,20 @@ def ann_lsh_topk(
         n_planes, bands = 2, 16
     elif profile == "auto":
         if n_planes is None and bands is None:
-            n_planes, bands = auto_band_geometry(
-                corpus, queries, k, id_col, vec_col, dim=dim, seed=seed)
+            # memoize on the corpus DataFrame object: a pipeline calling
+            # ann_lsh_topk per query batch over one corpus pays the
+            # sample + count of auto_band_geometry once, not per batch
+            memo_key = (k, id_col, vec_col, dim, seed)
+            memo = getattr(corpus, "_lk_auto_geometry", None)
+            if memo is not None and memo[0] == memo_key:
+                n_planes, bands = memo[1]
+            else:
+                n_planes, bands = auto_band_geometry(
+                    corpus, queries, k, id_col, vec_col, dim=dim, seed=seed)
+                try:
+                    corpus._lk_auto_geometry = (memo_key, (n_planes, bands))
+                except Exception:
+                    pass
     elif profile is not None:
         raise ValueError(f"unknown profile {profile!r}")
     n_planes = 8 if n_planes is None else n_planes

@@ -174,6 +174,8 @@ def segment_by_geographical_proximity(
     broadcast.  Longitude cells wrap modulo the cell count so
     antimeridian neighbors meet; polar-cap rows land in one sentinel
     bucket.  Same results as broadcast, no cross join anywhere."""
+    if strategy not in ("broadcast", "grid"):
+        raise ValueError(f"unknown strategy {strategy!r} (broadcast|grid)")
     r = regions.select(
         F.col(region_col).alias("region"),
         F.col("lat").alias("_rlat"),
@@ -184,6 +186,11 @@ def segment_by_geographical_proximity(
         F.col(lon_col).alias("_vlon"),
     )
     if metric == "flat_deg":
+        if strategy != "broadcast":
+            raise ValueError(
+                "metric='flat_deg' is the correctness-gate metric and only "
+                "supports strategy='broadcast'; use metric='haversine' for "
+                "the grid path")
         dq = [
             F.floor(c * 100 + F.lit(0.5)).cast("long")
             for c in (F.col("_vlat"), F.col("_vlon"), F.col("_rlat"), F.col("_rlon"))
@@ -208,8 +215,6 @@ def segment_by_geographical_proximity(
     ) <= distance_m
     if strategy == "broadcast":
         return v.crossJoin(F.broadcast(r)).where(pre & exact).select("id", "region")
-    if strategy != "grid":
-        raise ValueError(f"unknown strategy {strategy!r} (broadcast|grid)")
     import math
 
     cell_lat = deg

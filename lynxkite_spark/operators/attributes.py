@@ -279,11 +279,13 @@ def derive_table_from_graph_python(
     output_schema: str,
 ) -> DataFrame:
     """DeriveTableFromGraphPython.scala analog: user Python over a
-    graph's (vertices, edges) producing a table.  The reference hands
-    the whole graph to one Python process; at Spark scale only the
-    vertex side streams through ``fn`` per batch, with the edge table
-    exposed via the closure — for whole-graph logic compose the
-    DataFrame API directly instead.  ``fn`` is ``(vertices_batch:
+    graph's vertices producing a table.  The reference hands the whole
+    graph to one Python process; at Spark scale only the vertex side
+    streams through ``fn`` per batch.  The edge table is NOT visible
+    inside ``fn`` (a DataFrame captured in a mapInPandas closure cannot
+    be used on an executor) — for edge-dependent derivations aggregate
+    edges onto vertex columns first (operators.aggregate) or compose
+    the DataFrame API directly.  ``fn`` is ``(vertices_batch:
     pandas.DataFrame) -> pandas.DataFrame``."""
     return derive_table_python(graph.vertices, fn, output_schema)
 

@@ -334,26 +334,30 @@ def hyper_map(
     deg = degrees if degrees is not None else degree_op(graph, direction="all")
     avg_deg = deg.agg(F.avg("degree")).first()[0] or 1.0
     avg_clus = (clustering_coefficient(graph).agg(
-        F.sum("clustering_coefficient")).first()[0] or 0.0) / n
+        F.sum("clustering_coefficient")).first()[0] or 0.0) / max(n, 1)
     guess = (0.9 - avg_clus) * 4 + 0.1
     temperature = guess if 0 < guess < 0.85 else 0.85
     stats = deg.where(F.col("degree") > 0).agg(
         F.max("degree").alias("hi"), F.min("degree").alias("lo")).first()
-    bottom_count = deg.where(F.col("degree") == stats["lo"]).count()
-    gamma = (
-        math.log(max(bottom_count, 1))
-        / (math.log(stats["hi"]) - math.log(stats["lo"]))
-        if stats["hi"] > stats["lo"] else 0.0
-    )
+    if stats["hi"] is not None and stats["hi"] > stats["lo"]:
+        bottom_count = deg.where(F.col("degree") == stats["lo"]).count()
+        gamma = (
+            math.log(max(bottom_count, 1))
+            / (math.log(stats["hi"]) - math.log(stats["lo"]))
+        )
+    else:  # uniform-degree or edgeless graph: no power law to read
+        gamma = 0.0
     exponent = 1 / (gamma - 1) if 2 < gamma < 3 else 0.6
 
     # degree-descending appearance order; ord = rank + ⌊ln n⌋
     # (popularity fading without correction steps, HyperMap.scala:60-62).
     # add_ranking range-partitions the sort — no single-reducer window.
+    # shift ≥ 1 so ord ≥ 1 even when n ≤ 2 (log 2 < 1): radial
+    # = 2·ln(ord) must stay finite for the rank-0 vertex
     ordered = add_ranking(
         deg.select("id", "degree"), "_rk", "degree", ascending=False
     ).select(
-        "id", (F.col("_rk") + int(log_n)).cast("double").alias("ord")
+        "id", (F.col("_rk") + max(1, int(log_n))).cast("double").alias("ord")
     )
     # landmark sample: every early (high-degree) vertex, plus a
     # value-derived thinning favoring early ordinals (HyperMap.scala:90-97)

@@ -92,6 +92,14 @@ class SnapshotRegistry:
 
     # -- Graph snapshots (two named tables) -------------------------------
     def save_graph(self, name: str, graph, overwrite: bool = True) -> tuple[str, str]:
+        if not overwrite:
+            # check both names up front so a collision on either side
+            # cannot leave a dangling half-snapshot behind
+            reg = self._read()
+            taken = [n for n in (f"{name}/vertices", f"{name}/edges")
+                     if n in reg]
+            if taken:
+                raise ValueError(f"snapshot name(s) already exist: {taken}")
         return (
             self.save(f"{name}/vertices", graph.vertices, overwrite),
             self.save(f"{name}/edges", graph.edges, overwrite),

@@ -45,8 +45,8 @@ def create_plot(
 
     def enc_type(col: str) -> str:
         dt = dict(df.dtypes)[col]
-        if dt in ("double", "float", "int", "bigint", "smallint", "tinyint",
-                  "decimal"):
+        if dt in ("double", "float", "int", "bigint", "smallint",
+                  "tinyint") or dt.startswith("decimal"):
             return "quantitative"
         if dt in ("date", "timestamp"):
             return "temporal"
@@ -73,10 +73,9 @@ def histogram_plot(df: DataFrame, col: str, bins: int = 20) -> dict:
     (map-side combinable), only ``bins`` rows reach the driver."""
     lo, hi = df.agg(F.min(col), F.max(col)).first()
     if lo is None or hi is None or hi == lo:
-        edges = [lo, hi]
-        counts = df.groupBy().count().collect()
-        values = [{"bin_start": lo, "bin_end": hi,
-                   "count": counts[0]["count"] if counts else 0}]
+        width = 0.0
+        count = df.where(F.col(col).isNotNull()).count()
+        values = [{"bin_start": lo, "bin_end": hi, "count": count}]
     else:
         width = (hi - lo) / bins
         binned = (
@@ -103,7 +102,8 @@ def histogram_plot(df: DataFrame, col: str, bins: int = 20) -> dict:
         "mark": "bar",
         "encoding": {
             "x": {"field": "bin_start", "type": "quantitative",
-                  "bin": {"binned": True, "step": values[0].get("bin_end", 0)}},
+                  "bin": {"binned": True, "step": width} if width
+                  else {"binned": True}},
             "x2": {"field": "bin_end"},
             "y": {"field": "count", "type": "quantitative"},
         },

@@ -51,6 +51,24 @@ def test_named_snapshots_roundtrip(spark, tmp_path):
     assert wk["example graph"]().vertices.count() == 4
 
 
+def test_save_graph_collision_is_atomic(spark, tmp_path):
+    """r4 review: a name collision on EITHER side of a graph snapshot
+    must fail before anything is committed — no dangling half-snapshot."""
+    from lynxkite_spark.graph import example_graph
+
+    reg = SnapshotRegistry(CheckpointManager(spark, str(tmp_path / "snap")))
+    g = example_graph(spark)
+    # plant an edges-side collision only
+    reg.save("g/edges", g.edges)
+    with pytest.raises(ValueError):
+        reg.save_graph("g", g, overwrite=False)
+    # the vertices name must NOT have been created by the failed save
+    assert "g/vertices" not in [e["name"] for e in reg.list()]
+    # and a retry with overwrite=True succeeds cleanly
+    reg.save_graph("g", g, overwrite=True)
+    assert reg.load_graph("g").vertices.count() == g.vertices.count()
+
+
 @pytest.fixture(scope="module")
 def corpus(spark):
     return synth_corpus(spark, n_repos=20, n_files=200, seed=42).cache()

@@ -408,6 +408,32 @@ def test_ann_auto_band_geometry(spark):
     assert (r2, b2) in _BAND_MENU
 
 
+def test_ann_auto_geometry_memoized(spark):
+    """r4 review: profile='auto' memoizes the measured geometry on the
+    corpus DataFrame object, so per-batch calls over one corpus don't
+    re-run the sample + count every time."""
+    import random
+
+    from lynxkite_spark.functions.similarity import ann_lsh_topk
+
+    rng = random.Random(5)
+    corpus = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    q = corpus.where(F.col("vec_id") < 8)
+    assert not hasattr(corpus, "_lk_auto_geometry")
+    ann_lsh_topk(corpus, q, k=5).count()
+    memo = corpus._lk_auto_geometry
+    assert memo[0] == (5, "vec_id", "embedding", 64, 42)
+    # second call with the same params reuses the memo (same object)
+    ann_lsh_topk(corpus, q, k=5).count()
+    assert corpus._lk_auto_geometry is memo
+    # different params miss the memo and re-measure
+    ann_lsh_topk(corpus, q, k=3).count()
+    assert corpus._lk_auto_geometry[0][0] == 3
+
+
 def test_ann_viral_bucket_guard(spark, embs):
     """max_bucket_size drops oversized corpus buckets: results shrink
     (or stay equal), never error, and survivors are still ranked."""

@@ -149,3 +149,24 @@ def test_hyperbolic_prediction(spark, pso):
     assert all(0.0 <= r["probability"] <= 1.0 for r in rows)
     pairs = {(r["src"], r["dst"]) for r in rows}
     assert all((b, a) in pairs for a, b in pairs)
+
+
+def test_hyper_map_degenerate_graphs(spark):
+    """Edgeless and 2-vertex graphs must not crash (r4 review): gamma
+    falls back when no positive degrees exist, and ord >= 1 keeps
+    radial = 2*ln(ord) finite even when floor(ln n) == 0."""
+    edgeless = Graph(
+        vertices=spark.createDataFrame([(1,), (2,)], "id long"),
+        edges=spark.createDataFrame([], "src long, dst long"),
+    )
+    rows = hyper_map(edgeless, seed=1).collect()
+    assert len(rows) == 2
+    assert all(math.isfinite(r["radial"]) for r in rows)
+
+    tiny = Graph(
+        vertices=spark.createDataFrame([(1,), (2,)], "id long"),
+        edges=spark.createDataFrame([(1, 2)], "src long, dst long"),
+    )
+    rows = hyper_map(tiny, seed=1).collect()
+    assert len(rows) == 2
+    assert all(math.isfinite(r["radial"]) and r["radial"] >= 0 for r in rows)

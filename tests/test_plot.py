@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from lynxkite_spark.plot import (
@@ -50,3 +52,29 @@ def test_derive_html(spark):
     df = spark.range(3).select(F.col("id"))
     html = derive_html(df, lambda pdf: f"<b>{int(pdf['id'].sum())}</b>")
     assert html == "<b>3</b>"
+
+
+def test_histogram_plot_step_and_nulls(spark):
+    """r4 review: bin step must equal the bin WIDTH (not the first
+    bin's end), and the degenerate single-bin branch must count only
+    non-null rows like the normal branch does."""
+    df = spark.range(1000).select(
+        (F.col("id") % 20 * 5 + 100).cast("double").alias("v"))
+    spec = histogram_plot(df, "v", bins=20)
+    step = spec["encoding"]["x"]["bin"]["step"]
+    v0 = spec["data"]["values"][0]
+    assert step == pytest.approx(v0["bin_end"] - v0["bin_start"])
+    assert step == pytest.approx((195.0 - 100.0) / 20)
+
+    const = spark.createDataFrame(
+        [(3.0,), (3.0,), (None,)], "v double")
+    s2 = histogram_plot(const, "v")
+    assert s2["data"]["values"][0]["count"] == 2  # nulls excluded
+    assert "step" not in s2["encoding"]["x"]["bin"]  # no width defined
+
+
+def test_create_plot_decimal_is_quantitative(spark):
+    df = spark.range(5).select(
+        F.col("id").cast("decimal(10,2)").alias("price"))
+    spec = create_plot(df, x="price")
+    assert spec["encoding"]["x"]["type"] == "quantitative"

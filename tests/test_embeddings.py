@@ -108,3 +108,52 @@ def test_pca_matches_numpy(spark):
     assert np.allclose(got_var, evals[:2], rtol=1e-6)
     # total captured variance dominates: axis 3 is pure noise
     assert got_var.sum() / evals.sum() > 0.95
+
+
+def test_tsne_separates_clusters(spark):
+    """Exact-gradient numpy t-SNE (sphynx/python/tsne.py analog): three
+    well-separated 16-D gaussian blobs must land in three separated 2-D
+    clusters, deterministically for a fixed seed."""
+    import numpy as np
+
+    from lynxkite_spark.operators.embeddings import tsne_embedding
+
+    rng = np.random.default_rng(3)
+    centers = np.eye(3).repeat(6, axis=1)[:, :16] * 12.0  # far apart
+    X = np.vstack([centers[i // 30] + rng.normal(size=16) * 0.3
+                   for i in range(90)])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(90)],
+        "vec_id long, embedding array<double>",
+    )
+    out = tsne_embedding(df, dimensions=2, perplexity=10, seed=5)
+    got = {r["id"]: np.array(r["embedding"]) for r in out.collect()}
+    assert len(got) == 90 and all(len(v) == 2 for v in got.values())
+    Y = np.array([got[i] for i in range(90)])
+    labels = np.arange(90) // 30
+    # intra-cluster spread far below inter-centroid distance
+    cent = np.array([Y[labels == c].mean(axis=0) for c in range(3)])
+    intra = max(np.linalg.norm(Y[labels == c] - cent[c], axis=1).mean()
+                for c in range(3))
+    inter = min(np.linalg.norm(cent[a] - cent[b])
+                for a in range(3) for b in range(a + 1, 3))
+    assert inter > 3 * intra
+    # determinism
+    out2 = tsne_embedding(df, dimensions=2, perplexity=10, seed=5)
+    got2 = {r["id"]: r["embedding"] for r in out2.collect()}
+    assert all(np.allclose(got[i], got2[i]) for i in range(90))
+
+
+def test_tsne_guards(spark):
+    import numpy as np
+
+    from lynxkite_spark.operators.embeddings import tsne_embedding
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        tsne_embedding(df, max_rows=10)
+    with pytest.raises(ValueError, match="at least 4"):
+        tsne_embedding(df.where(F.col("vec_id") < 3))

@@ -27,8 +27,12 @@ Re-expresses the reference's Sphynx GCN trio —
     cannot do.
 
 ``conv_op="GatedGraphConv"`` (the reference's second architecture,
-a GRU-gated variant) is not implemented — raise with a clear message
-rather than approximate it silently.
+models.py:24-27,40-45: lin1 → ReLU → L steps of m = Â·(h·W_step),
+h = GRUCell(m, h) → lin2, with UN-normalized additive aggregation and
+no self-loops, torch GRUCell gate order r|z|n) is implemented the same
+way: numpy BPTT training (gradients verified against numeric
+differentiation in tests), distributed prediction with one Arrow pass
+per GRU step.
 
 The ``forget`` mode mirrors the reference exactly: the input features
 are augmented with (one-hot when classifying, raw value when
@@ -61,14 +65,13 @@ class GCNModel:
     lin2: tuple | None = None  # regressor: hidden -> 1 dense
     conv_op: str = "GCNConv"
     train_metric: float = 0.0  # trainAcc (classifier) / trainMSE
+    gated: dict | None = None  # GatedGraphConv: steps/Wi/bi/Wh/bh
 
 
 def _check_conv_op(conv_op: str) -> None:
-    if conv_op != "GCNConv":
+    if conv_op not in ("GCNConv", "GatedGraphConv"):
         raise NotImplementedError(
-            f"conv_op={conv_op!r}: only 'GCNConv' is implemented "
-            "(the reference's GatedGraphConv needs a GRU cell; train "
-            "with conv_op='GCNConv')")
+            f"conv_op={conv_op!r}: 'GCNConv' or 'GatedGraphConv'")
 
 
 def _collect_dense(
@@ -200,6 +203,114 @@ def _forward_convs(model: GCNModel, Ahat, X, rng=None, dropout: float = 0.0):
     return A, caches
 
 
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _gated_init(rng, hidden: int, num_layers: int) -> dict:
+    """torch GRUCell parameter shapes, gates packed r|z|n; one
+    propagation weight per step (PyG GatedGraphConv)."""
+    return {
+        "steps": [_glorot(rng, hidden, hidden) for _ in range(num_layers)],
+        "Wi": _glorot(rng, hidden, 3 * hidden), "bi": np.zeros(3 * hidden),
+        "Wh": _glorot(rng, hidden, 3 * hidden), "bh": np.zeros(3 * hidden),
+    }
+
+
+def _gated_flat(p: dict) -> list:
+    return [*p["steps"], p["Wi"], p["bi"], p["Wh"], p["bh"]]
+
+
+def _gru_cell(p: dict, m, h):
+    H = h.shape[1]
+    gi = m @ p["Wi"] + p["bi"]
+    gh = h @ p["Wh"] + p["bh"]
+    r = _sigmoid(gi[:, :H] + gh[:, :H])
+    z = _sigmoid(gi[:, H:2 * H] + gh[:, H:2 * H])
+    n = np.tanh(gi[:, 2 * H:] + r * gh[:, 2 * H:])
+    h2 = (1.0 - z) * n + z * h
+    return h2, (m, h, r, z, n, gh[:, 2 * H:])
+
+
+def _gated_forward(p: dict, Aadd, H0):
+    """L steps of m = Â·(h·W_step); h = GRU(m, h).  Â is the raw
+    additive adjacency (no normalization, no self-loops) — PyG
+    GatedGraphConv's default aggregation."""
+    s, t, w = Aadd
+    h = H0
+    caches = []
+    for W in p["steps"]:
+        P = h @ W
+        m = _spmm(s, t, w, P)
+        h, cell = _gru_cell(p, m, h)
+        caches.append((P, cell))
+    return h, caches
+
+
+def _gated_backward(p: dict, Aadd, dh, caches):
+    """BPTT through the GRU steps; returns (grads aligned with
+    _gated_flat, gradient w.r.t. H0)."""
+    s, t, w = Aadd
+    H = dh.shape[1]
+    dWsteps = [np.zeros_like(W) for W in p["steps"]]
+    dWi = np.zeros_like(p["Wi"])
+    dbi = np.zeros_like(p["bi"])
+    dWh = np.zeros_like(p["Wh"])
+    dbh = np.zeros_like(p["bh"])
+    for i in range(len(p["steps"]) - 1, -1, -1):
+        P, (m, h_in, r, z, n, ghn) = caches[i]
+        dn = dh * (1.0 - z)
+        dz = dh * (h_in - n)
+        dh_in = dh * z
+        dpre_n = dn * (1.0 - n * n)
+        dr = dpre_n * ghn
+        dpre_r = dr * r * (1.0 - r)
+        dpre_z = dz * z * (1.0 - z)
+        dgi = np.concatenate([dpre_r, dpre_z, dpre_n], axis=1)
+        dgh = np.concatenate([dpre_r, dpre_z, dpre_n * r], axis=1)
+        dWi += m.T @ dgi
+        dbi += dgi.sum(axis=0)
+        dWh += h_in.T @ dgh
+        dbh += dgh.sum(axis=0)
+        dm = dgi @ p["Wi"].T
+        dh_in = dh_in + dgh @ p["Wh"].T
+        dP = _spmm_T(s, t, w, dm)
+        dWsteps[i] += h_in.T @ dP
+        dh_in = dh_in + dP @ p["steps"][i].T
+        dh = dh_in
+    return [*dWsteps, dWi, dbi, dWh, dbh], dh
+
+
+def _forward_gated_net(model: GCNModel, Aadd, X):
+    """lin1 → ReLU → gated conv → (ReLU if regression) → lin2
+    (models.py:40-45 / 73-81)."""
+    W1, b1 = model.lin1
+    Z1 = X @ W1 + b1
+    A0 = np.maximum(Z1, 0.0)
+    hL, caches = _gated_forward(model.gated, Aadd, A0)
+    A = hL if model.is_classification else np.maximum(hL, 0.0)
+    W2, b2 = model.lin2
+    out = A @ W2 + b2
+    if not model.is_classification:
+        out = out.ravel()
+    return out, (X, Z1, A0, caches, hL, A)
+
+
+def _backward_gated_net(model: GCNModel, Aadd, dout, caches):
+    X, Z1, A0, gcaches, hL, A = caches
+    W2, b2 = model.lin2
+    if not model.is_classification:
+        dout = dout[:, None]
+    dW2 = A.T @ dout
+    db2 = dout.sum(axis=0)
+    dA = dout @ W2.T
+    dhL = dA if model.is_classification else dA * (hL > 0)
+    ggrads, dA0 = _gated_backward(model.gated, Aadd, dhL, gcaches)
+    dZ1 = dA0 * (Z1 > 0)
+    W1, b1 = model.lin1
+    return [X.T @ dZ1, dZ1.sum(axis=0), *ggrads, dW2, db2]
+
+
 def train_gcn_classifier(
     graph: Graph,
     features: DataFrame,
@@ -214,6 +325,7 @@ def train_gcn_classifier(
     forget: bool = False,
     batch_size: int = 128,
     dropout: float = 0.5,
+    conv_op: str = "GCNConv",
     seed: int = 1,
     max_rows: int = 50_000,
 ) -> GCNModel:
@@ -221,7 +333,7 @@ def train_gcn_classifier(
     the labeled vertices (label NaN/absent = unlabeled).  Returns a
     GCNModel with ``train_metric`` = training accuracy (the reference's
     ``trainAcc`` scalar)."""
-    _check_conv_op("GCNConv")
+    _check_conv_op(conv_op)
     ids, X, y, src, dst = _collect_dense(
         graph, features, label, id_col, vec_col, label_col, max_rows)
     n = len(ids)
@@ -231,18 +343,35 @@ def train_gcn_classifier(
         raise ValueError("no labeled vertices to train on")
     num_classes = int(np.nanmax(y)) + 1
     in_dim = X.shape[1] + num_classes + 1 if forget else X.shape[1]
-    sizes = [in_dim] + [hidden_size] * (num_conv_layers - 1) + [num_classes]
-    model = GCNModel(
-        conv_weights=[
-            (_glorot(rng, s1, s2), np.zeros(s2))
-            for s1, s2 in zip(sizes[:-1], sizes[1:])
-        ],
-        is_classification=True, forget=forget, num_classes=num_classes)
-    flat = [a for Wb in model.conv_weights for a in Wb]
+    if conv_op == "GCNConv":
+        sizes = [in_dim] + [hidden_size] * (num_conv_layers - 1) + [num_classes]
+        model = GCNModel(
+            conv_weights=[
+                (_glorot(rng, s1, s2), np.zeros(s2))
+                for s1, s2 in zip(sizes[:-1], sizes[1:])
+            ],
+            is_classification=True, forget=forget, num_classes=num_classes)
+        flat = [a for Wb in model.conv_weights for a in Wb]
+        prop = _gcn_norm(src, dst, n)
+    else:
+        model = GCNModel(
+            conv_weights=[], is_classification=True, forget=forget,
+            num_classes=num_classes, conv_op=conv_op,
+            lin1=(_glorot(rng, in_dim, hidden_size), np.zeros(hidden_size)),
+            lin2=(_glorot(rng, hidden_size, num_classes), np.zeros(num_classes)),
+            gated=_gated_init(rng, hidden_size, num_conv_layers))
+        flat = [*model.lin1, *_gated_flat(model.gated), *model.lin2]
+        prop = (src, dst, np.ones(len(src)))
     opt = _Adam(flat, learning_rate)
-    Ahat = _gcn_norm(src, dst, n)
     bsz = min(batch_size, int(train_mask.sum()))
     yi = np.nan_to_num(y).astype(int)
+
+    def fwd(Xin, training):
+        if conv_op == "GCNConv":
+            return _forward_convs(model, prop, Xin,
+                                  rng if training else None,
+                                  dropout if training else 0.0)
+        return _forward_gated_net(model, prop, Xin)
 
     batch_mask, Xin = train_mask, X
     for _ in range(iterations):
@@ -253,7 +382,7 @@ def train_gcn_classifier(
             Xin = _augment_forget(X, y, known, True, num_classes)
             batch_mask = np.zeros(n, dtype=bool)
             batch_mask[batch] = True
-        out, caches = _forward_convs(model, Ahat, Xin, rng, dropout)
+        out, caches = fwd(Xin, True)
         # softmax cross-entropy gradient on the batch rows
         z = out - out.max(axis=1, keepdims=True)
         p = np.exp(z)
@@ -263,10 +392,13 @@ def train_gcn_classifier(
         dZ[batch_mask] = p[batch_mask]
         dZ[batch_mask, yi[batch_mask]] -= 1.0
         dZ /= max(m, 1)
-        grads = _backward_convs(model, Ahat, dZ, caches)
+        if conv_op == "GCNConv":
+            grads = _backward_convs(model, prop, dZ, caches)
+        else:
+            grads = _backward_gated_net(model, prop, dZ, caches)
         opt.step(grads)
 
-    out, _ = _forward_convs(model, Ahat, Xin)
+    out, _ = fwd(Xin, False)
     pred = out.argmax(axis=1)
     model.train_metric = float(
         (pred[batch_mask] == yi[batch_mask]).mean())
@@ -286,13 +418,15 @@ def train_gcn_regressor(
     learning_rate: float = 0.01,
     forget: bool = False,
     batch_size: int = 128,
+    conv_op: str = "GCNConv",
     seed: int = 1,
     max_rows: int = 50_000,
 ) -> GCNModel:
     """train_GCN_regressor.py: lin1 → ReLU → num_conv_layers ×
-    (GCNConv hidden→hidden, ReLU) → lin2 → scalar, full-batch Adam on
-    MSE over labeled vertices.  ``train_metric`` = training MSE."""
-    _check_conv_op("GCNConv")
+    (GCNConv hidden→hidden, ReLU | one GatedGraphConv pass, ReLU) →
+    lin2 → scalar, full-batch Adam on MSE over labeled vertices.
+    ``train_metric`` = training MSE."""
+    _check_conv_op(conv_op)
     ids, X, y, src, dst = _collect_dense(
         graph, features, label, id_col, vec_col, label_col, max_rows)
     n = len(ids)
@@ -301,20 +435,34 @@ def train_gcn_regressor(
     if not train_mask.any():
         raise ValueError("no labeled vertices to train on")
     in_dim = X.shape[1] + 2 if forget else X.shape[1]
-    model = GCNModel(
-        conv_weights=[
-            (_glorot(rng, hidden_size, hidden_size), np.zeros(hidden_size))
-            for _ in range(num_conv_layers)
-        ],
-        is_classification=False, forget=forget,
-        lin1=(_glorot(rng, in_dim, hidden_size), np.zeros(hidden_size)),
-        lin2=(_glorot(rng, hidden_size, 1), np.zeros(1)))
-    flat = ([*model.lin1] + [a for Wb in model.conv_weights for a in Wb]
-            + [*model.lin2])
+    if conv_op == "GCNConv":
+        model = GCNModel(
+            conv_weights=[
+                (_glorot(rng, hidden_size, hidden_size), np.zeros(hidden_size))
+                for _ in range(num_conv_layers)
+            ],
+            is_classification=False, forget=forget,
+            lin1=(_glorot(rng, in_dim, hidden_size), np.zeros(hidden_size)),
+            lin2=(_glorot(rng, hidden_size, 1), np.zeros(1)))
+        flat = ([*model.lin1] + [a for Wb in model.conv_weights for a in Wb]
+                + [*model.lin2])
+        prop = _gcn_norm(src, dst, n)
+    else:
+        model = GCNModel(
+            conv_weights=[], is_classification=False, forget=forget,
+            conv_op=conv_op,
+            lin1=(_glorot(rng, in_dim, hidden_size), np.zeros(hidden_size)),
+            lin2=(_glorot(rng, hidden_size, 1), np.zeros(1)),
+            gated=_gated_init(rng, hidden_size, num_conv_layers))
+        flat = [*model.lin1, *_gated_flat(model.gated), *model.lin2]
+        prop = (src, dst, np.ones(len(src)))
     opt = _Adam(flat, learning_rate)
-    Ahat = _gcn_norm(src, dst, n)
-    s, t, w = Ahat
     bsz = min(batch_size, int(train_mask.sum()))
+
+    def fwd(Xin):
+        if conv_op == "GCNConv":
+            return _forward_regressor(model, prop, Xin)
+        return _forward_gated_net(model, prop, Xin)
 
     batch_mask, Xin = train_mask, X
     for _ in range(iterations):
@@ -325,14 +473,17 @@ def train_gcn_regressor(
             Xin = _augment_forget(X, y, known, False, None)
             batch_mask = np.zeros(n, dtype=bool)
             batch_mask[batch] = True
-        pred, caches = _forward_regressor(model, Ahat, Xin)
+        pred, caches = fwd(Xin)
         m = int(batch_mask.sum())
         dpred = np.zeros(n)
         dpred[batch_mask] = 2.0 * (pred[batch_mask] - y[batch_mask]) / max(m, 1)
-        grads = _backward_regressor(model, Ahat, dpred, caches)
+        if conv_op == "GCNConv":
+            grads = _backward_regressor(model, prop, dpred, caches)
+        else:
+            grads = _backward_gated_net(model, prop, dpred, caches)
         opt.step(grads)
 
-    pred, _ = _forward_regressor(model, Ahat, Xin)
+    pred, _ = fwd(Xin)
     model.train_metric = float(
         np.mean((pred[batch_mask] - y[batch_mask]) ** 2))
     return model
@@ -472,6 +623,40 @@ def _add_bias_df(x: DataFrame, b: np.ndarray) -> DataFrame:
         "id", F.zip_with("vec", barr, lambda v, bb: v + bb).alias("vec"))
 
 
+def _gru_step_df(h: DataFrame, m: DataFrame, p: dict, hidden: int) -> DataFrame:
+    """One distributed GRU step: join state h with aggregated message m
+    (zero message for vertices with no in-edges — no self-loops in
+    GatedGraphConv) and apply the cell in one Arrow-batched pass with
+    the broadcast gate weights."""
+    import pandas as pd
+
+    zeros = F.array(*[F.lit(0.0)] * hidden)
+    joined = (
+        h.select("id", F.col("vec").alias("h"))
+        .join(m.select("id", F.col("vec").alias("m")), "id", "left")
+        .select("id", "h", F.coalesce("m", zeros).alias("m"))
+    )
+    Wi, bi = p["Wi"].tolist(), p["bi"].tolist()
+    Wh, bh = p["Wh"].tolist(), p["bh"].tolist()
+
+    def cell(it):
+        Win, bin_ = np.asarray(Wi), np.asarray(bi)
+        Whn, bhn = np.asarray(Wh), np.asarray(bh)
+        H = hidden
+        for pdf in it:
+            hm = np.asarray([list(v) for v in pdf["h"]], dtype=np.float64)
+            mm = np.asarray([list(v) for v in pdf["m"]], dtype=np.float64)
+            gi = mm @ Win + bin_
+            gh = hm @ Whn + bhn
+            r = 1.0 / (1.0 + np.exp(-(gi[:, :H] + gh[:, :H])))
+            z = 1.0 / (1.0 + np.exp(-(gi[:, H:2 * H] + gh[:, H:2 * H])))
+            nn = np.tanh(gi[:, 2 * H:] + r * gh[:, 2 * H:])
+            h2 = (1.0 - z) * nn + z * hm
+            yield pd.DataFrame({"id": pdf["id"], "vec": list(h2)})
+
+    return joined.mapInPandas(cell, "id long, vec array<double>")
+
+
 def predict_with_gcn(
     graph: Graph,
     features: DataFrame,
@@ -523,6 +708,28 @@ def predict_with_gcn(
     else:
         x = x.select("id", F.coalesce(
             "vec", F.array(*[F.lit(0.0)] * dim)).alias("vec"))
+    if model.gated is not None:
+        hidden = model.lin1[0].shape[1]
+        edges_add = graph.edges.select(
+            F.col("src").cast("long"), F.col("dst").cast("long"),
+            F.lit(1.0).alias("w")).localCheckpoint(eager=False)
+        W1, b1 = model.lin1
+        h = _relu_df(_dense_df(x, W1, b1))
+        for W in model.gated["steps"]:
+            P = _dense_df(h, W, None)
+            m = _spmm_df(edges_add, P, hidden)
+            h = _gru_step_df(h, m, model.gated, hidden)
+        if not model.is_classification:
+            h = _relu_df(h)
+        W2, b2 = model.lin2
+        out = _dense_df(h, W2, b2)
+        if model.is_classification:
+            return out.select(
+                "id",
+                F.expr("cast(array_position(vec, array_max(vec)) - 1 "
+                       "as double)").alias("prediction"))
+        return out.select("id", F.element_at("vec", 1).alias("prediction"))
+
     edges = _norm_edges_df(graph).localCheckpoint(eager=False)
 
     if model.is_classification:

@@ -1,0 +1,297 @@
+"""Prize-collecting Steiner tree ("Find optimal prize collecting
+Steiner tree" / Dapcstp).
+
+Re-implements the reference's algorithm — the dual-ascent primal
+heuristic of Leitner, Ljubić, Luipersbeck & Sinnl, *A Dual
+Ascent-Based Branch-and-Bound Framework for the Prize-Collecting
+Steiner Tree and Related Problems* (INFORMS J. on Computing 2018),
+Algorithm 1 + shortest-path primal + strong pruning — in plain Python
+on the driver.  The reference runs the identical computation
+single-node in its Go server (sphynx/dapcstp/dual_ascent.go:1-121,
+primalheuristic.go:1-103) behind the Scala stub
+graph_operations/Dapcstp.scala; there is no distributed form of this
+algorithm in the reference either, so a driver-side implementation
+with an explicit ``max_elements`` guard is the faithful equivalent.
+
+Operator surface mirrors sphynx/lynxkite-sphynx/dapcstp.go:14-88: a
+hidden root vertex is appended with an arc to every vertex whose
+``root_costs`` attribute is defined and ≥ 0 (arc cost = that value);
+prizes are ``gain`` clamped at 0; arc costs are ``edge_costs`` clamped
+at 0.  Outputs: per-edge / per-vertex / per-root selection flags plus
+the profit scalar.
+
+Faithfully mirrored quirk: the primal's profit bookkeeping adds a
+terminal's prize only when that terminal is POPPED unconnected — a
+terminal absorbed earlier as an interior vertex of another terminal's
+path contributes its prize to strong pruning's net worth but not to
+the reported profit (primalheuristic.go:33-47 does the same).
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lynxkite_spark.graph import Graph
+
+_INF = float("inf")
+
+
+@dataclass
+class _PCST:
+    """Arrays mirroring the problem statement (types.go:23-38)."""
+
+    n: int
+    m: int
+    src: list
+    dst: list
+    cost: list
+    prize: list
+    fixed: list
+    terminal: list
+    incoming: list  # per-vertex incoming arc ids
+    outgoing: list
+    root: int
+
+
+@dataclass
+class PCSTResult:
+    nodes: DataFrame  # [id, node double] — selected vertices
+    arcs: DataFrame  # [edge_index, src, dst, arc double] — selected edges
+    roots: DataFrame  # [id, root double] — chosen tree root(s)
+    profit: float
+
+
+def _active_component(g: _PCST, cr: list, v: int) -> list:
+    """Vertices that can reach ``v`` along arcs with zero reduced cost
+    (dual_ascent.go:18-37): reverse BFS over incoming arcs."""
+    seen = [False] * g.n
+    seen[v] = True
+    stack = [v]
+    while stack:
+        x = stack.pop()
+        for a in g.incoming[x]:
+            if cr[a] == 0:
+                u = g.src[a]
+                if not seen[u]:
+                    seen[u] = True
+                    stack.append(u)
+    return seen
+
+
+def _dual_ascent(g: _PCST):
+    """Algorithm 1: raise the dual on the cheapest arc entering each
+    active terminal's zero-reduced-cost component until every terminal
+    reaches the root or exhausts its prize.  Returns (lower_bound,
+    reduced costs, residual prizes)."""
+    lb = 0.0
+    cr = list(g.cost)
+    pi = list(g.prize)
+    seq = 0
+    heap: list = []
+    for i in range(g.n):
+        if g.fixed[i] or g.prize[i] > 0:
+            heapq.heappush(heap, (1.0, seq, i))
+            seq += 1
+    while heap:
+        _, _, k = heapq.heappop(heap)
+        w = _active_component(g, cr, k)
+        if w[g.root]:
+            continue
+        in_arcs = [
+            a
+            for v in range(g.n)
+            if w[v]
+            for a in g.incoming[v]
+            if not w[g.src[a]]
+        ]
+        delta = min((cr[a] for a in in_arcs), default=_INF)
+        if not g.fixed[k]:
+            delta = min(delta, pi[k])
+            pi[k] -= delta
+        for a in in_arcs:
+            cr[a] -= delta
+        if pi[k] != 0:
+            # re-queue with the component-degeneracy score of
+            # dual_ascent.go:67-88 (the feasible-primal augmentation
+            # term is always negative for the primal heuristic's empty
+            # primal and therefore dropped)
+            size = sum(w)
+            score = sum(len(g.incoming[v]) for v in range(g.n) if w[v])
+            score -= size - 1
+            heapq.heappush(heap, (float(score), seq, k))
+            seq += 1
+        lb += delta
+    return lb, cr, pi
+
+
+def _shortest_path_primal(g: _PCST, cr: list):
+    """Iteratively connect the nearest (by ORIGINAAL arc cost, along
+    zero-reduced-cost arcs only) unconnected terminal to the tree
+    (primalheuristic.go:14-67)."""
+    nodes = [False] * g.n
+    arcs = [False] * g.m
+    profit = 0.0
+    dist = [_INF] * g.n
+    back = [0] * g.n
+    heap: list = []
+    seq = 0
+    heapq.heappush(heap, (0.0, seq, g.root))
+    seq += 1
+    nodes[g.root] = True
+    dist[g.root] = 0.0
+    while heap:
+        _, _, s = heapq.heappop(heap)
+        if g.terminal[s] and not nodes[s]:
+            profit += g.prize[s]
+            while not nodes[s]:
+                nodes[s] = True
+                dist[s] = 0.0
+                a = back[s]
+                arcs[a] = True
+                profit -= g.cost[a]
+                heapq.heappush(heap, (0.0, seq, s))
+                seq += 1
+                s = g.src[a]
+        else:
+            for a in g.outgoing[s]:
+                if cr[a] != 0:
+                    continue
+                d = g.dst[a]
+                nd = dist[s] + g.cost[a]
+                if nd < dist[d]:
+                    dist[d] = nd
+                    back[d] = a
+                    heapq.heappush(heap, (nd, seq, d))
+                    seq += 1
+    return nodes, arcs, profit
+
+
+def _strong_prune(g: _PCST, nodes: list, arcs: list, profit: float, root: int):
+    """Cut subtrees whose cost meets or exceeds their collected net
+    worth (primalheuristic.go:70-85), iteratively (explicit post-order
+    stack — the tree can be n deep)."""
+    net = [0.0] * g.n
+    # post-order over built arcs
+    order = []
+    stack = [root]
+    while stack:
+        v = stack.pop()
+        order.append(v)
+        for a in g.outgoing[v]:
+            if arcs[a]:
+                stack.append(g.dst[a])
+    for v in reversed(order):
+        net[v] = g.prize[v]
+        for a in g.outgoing[v]:
+            if not arcs[a]:
+                continue
+            d = g.dst[a]
+            if g.cost[a] >= net[d]:
+                # remove arc + whole subtree under d
+                rm = [d]
+                arcs[a] = False
+                profit += -g.prize[d] + g.cost[a]
+                nodes[d] = False
+                while rm:
+                    x = rm.pop()
+                    for a2 in g.outgoing[x]:
+                        if arcs[a2]:
+                            d2 = g.dst[a2]
+                            arcs[a2] = False
+                            profit += -g.prize[d2] + g.cost[a2]
+                            nodes[d2] = False
+                            rm.append(d2)
+            else:
+                net[v] += net[d] - g.cost[a]
+    return profit
+
+
+def _primal_heuristic(g: _PCST):
+    _, cr, _ = _dual_ascent(g)
+    nodes, arcs, profit = _shortest_path_primal(g, cr)
+    profit = _strong_prune(g, nodes, arcs, profit, g.root)
+    return nodes, arcs, profit
+
+
+def prize_collecting_steiner_tree(
+    graph: Graph,
+    gain_col: str = "gain",
+    root_costs_col: str = "root_costs",
+    edge_costs_col: str = "cost",
+    max_elements: int = 2_000_000,
+) -> PCSTResult:
+    """Dapcstp operator (lynxkite-sphynx/dapcstp.go:96-160): hidden
+    single root wired to every vertex with root_costs ≥ 0, prizes =
+    gain clamped at 0, arc costs = edge_costs clamped at 0; runs the
+    dual-ascent primal heuristic and maps the solution back to the
+    original id space.  NULL gain/edge cost = 0 and NULL root_costs =
+    not a root candidate, matching the reference's undefined-attribute
+    handling."""
+    spark = graph.vertices.sparkSession
+    vrows = graph.vertices.select(
+        F.col("id"),
+        F.col(gain_col).cast("double").alias("_g")
+        if gain_col in graph.vertices.columns else F.lit(None).alias("_g"),
+        F.col(root_costs_col).cast("double").alias("_rc")
+        if root_costs_col in graph.vertices.columns
+        else F.lit(None).alias("_rc"),
+    ).sort("id").collect()
+    erows = graph.edges.select(
+        F.col("src"), F.col("dst"),
+        F.col(edge_costs_col).cast("double").alias("_c")
+        if edge_costs_col in graph.edges.columns else F.lit(0.0).alias("_c"),
+    ).collect()
+    if len(vrows) + len(erows) > max_elements:
+        raise ValueError(
+            f"prize_collecting_steiner_tree collects the graph to the "
+            f"driver (single-node in the reference too); "
+            f"{len(vrows)} vertices + {len(erows)} edges exceed "
+            f"max_elements={max_elements}")
+    idx = {r["id"]: i for i, r in enumerate(vrows)}
+    n0, m0 = len(vrows), len(erows)
+    roots_in = [i for i, r in enumerate(vrows)
+                if r["_rc"] is not None and r["_rc"] >= 0]
+    n = n0 + 1
+    m = m0 + len(roots_in)
+    g = _PCST(
+        n=n, m=m,
+        src=[0] * m, dst=[0] * m, cost=[0.0] * m,
+        prize=[0.0] * n, fixed=[False] * n, terminal=[False] * n,
+        incoming=[[] for _ in range(n)], outgoing=[[] for _ in range(n)],
+        root=n0)
+    for i, r in enumerate(vrows):
+        p = r["_g"] if r["_g"] is not None and r["_g"] > 0 else 0.0
+        g.prize[i] = p
+        g.terminal[i] = p > 0
+    for a, r in enumerate(erows):
+        s, d = idx[r["src"]], idx[r["dst"]]
+        g.src[a], g.dst[a] = s, d
+        g.cost[a] = r["_c"] if r["_c"] is not None and r["_c"] > 0 else 0.0
+        g.incoming[d].append(a)
+        g.outgoing[s].append(a)
+    g.fixed[g.root] = True
+    for j, v in enumerate(roots_in):
+        a = m0 + j
+        g.src[a], g.dst[a] = g.root, v
+        g.cost[a] = vrows[v]["_rc"]
+        g.outgoing[g.root].append(a)
+        g.incoming[v].append(a)
+
+    nodes, arcs, profit = _primal_heuristic(g)
+
+    node_rows = [(vrows[i]["id"], 1.0) for i in range(n0) if nodes[i]]
+    arc_rows = [(a, erows[a]["src"], erows[a]["dst"], 1.0)
+                for a in range(m0) if arcs[a]]
+    root_rows = [(vrows[g.dst[a]]["id"], 1.0)
+                 for a in range(m0, m) if arcs[a]]
+    id_t = dict(graph.vertices.dtypes)["id"]
+    return PCSTResult(
+        nodes=spark.createDataFrame(node_rows, f"id {id_t}, node double"),
+        arcs=spark.createDataFrame(
+            arc_rows, f"edge_index long, src {id_t}, dst {id_t}, arc double"),
+        roots=spark.createDataFrame(root_rows, f"id {id_t}, root double"),
+        profit=float(profit))

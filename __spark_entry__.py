@@ -1328,6 +1328,29 @@ def _q_docs_table_udf_filter(spark, sf_dir):
     )
 
 
+def _q_docs_text_embedding(spark, sf_dir):
+    """TextEmbedding stand-in as a gate query: deterministic hashed
+    n-gram + Rademacher-projection embeddings over the documents table
+    (lynxkite_spark.functions.text_embedding; reference
+    sphynx/python/text_embedding.py wraps SentenceTransformers — weights
+    absent here, Spark contract identical). Output exploded to
+    (doc_id, i, value) rows; rows-only gate — BLAKE2b is not
+    expressible in DuckDB SQL, so the value-level checks live in
+    tests/test_text_embedding.py (determinism, partition invariance,
+    cosine geometry, ANN integration)."""
+    from lynxkite_spark.functions.text_embedding import text_embedding
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    emb = text_embedding(d, dim=16)
+    return (
+        emb.select(
+            "doc_id", F.posexplode("embedding").alias("i", "raw_value")
+        )
+        .select("doc_id", "i", F.round("raw_value", 6).alias("value"))
+        .orderBy("doc_id", "i")
+    )
+
+
 def _q_set_overlap_cc(spark, sf_dir):
     """SetOverlapForCC (component-parity overlap edges): min_overlap=1
     star construction — each shared member links its smallest segment to
@@ -1715,6 +1738,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast_revenue": _q_tpch_q6,
         "tpch_q10_returned_items": _q_tpch_q10,
         "window_top2_orders_per_customer": _q_window_top2,
+        # rows-only (BLAKE2b not expressible in DuckDB; value checks in
+        # tests/test_text_embedding.py)
+        "docs_text_embedding": _q_docs_text_embedding,
     }
 
 

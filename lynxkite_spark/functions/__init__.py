@@ -1,3 +1,3 @@
-from lynxkite_spark.functions import dedup, multimodal, similarity, text
+from lynxkite_spark.functions import dedup, multimodal, similarity, text, text_embedding
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "similarity", "text", "text_embedding"]

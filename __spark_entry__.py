@@ -1328,6 +1328,103 @@ def _q_docs_table_udf_filter(spark, sf_dir):
     )
 
 
+def _q_docs_gopher_quality(spark, sf_dir):
+    """Gopher-style repetition/quality gating (Rae et al. 2021 A1.1)
+    over the documents table: row-local higher-order-function metrics +
+    keep flag (lynxkite_spark.functions.curation.gopher_quality_flags).
+    Zero-shuffle map; the keep decision is computed on unrounded doubles
+    in both engines from identical integer inputs, so it is bit-stable."""
+    from lynxkite_spark.functions.curation import gopher_quality_flags
+
+    d = _t(spark, sf_dir, "documents")
+    out = gopher_quality_flags(d)
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        "stopword_hits",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top_word_frac", 6).alias("top_word_frac"),
+        "keep",
+    )
+
+
+def _q_docs_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus docs sharing any word
+    5-gram with a benchmark set (here: every 25th doc plays the eval
+    suite), with distinct-hit counts. Benchmark n-grams are broadcast;
+    the only shuffle is over matched rows
+    (lynxkite_spark.functions.curation.contaminated_docs)."""
+    from lynxkite_spark.functions.curation import contaminated_docs
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 25 == 0)
+    corpus = d.where(F.col("doc_id") % 25 != 0)
+    return contaminated_docs(corpus, bench, n=5)
+
+
+def _q_docs_stratified_sample(spark, sf_dir):
+    """Deterministic hash-based stratified sampling by source: map-only
+    predicate on the portable 60-bit hash — reproducible on any cluster
+    size and stable under corpus growth
+    (lynxkite_spark.functions.curation.stratified_sample)."""
+    from lynxkite_spark.functions.curation import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d,
+        "source",
+        {"src0": 0.6, "src1": 0.4, "src2": 0.25},
+        key_col="doc_id",
+        default_fraction=0.1,
+        seed=7,
+    )
+    return out.select("doc_id", "source")
+
+
+def _q_docs_pack_sequences(spark, sf_dir):
+    """Token-window sequence packing: documents laid out consecutively
+    in key order within 8 hash-derived pack groups; chunk = the 256-token
+    window containing the doc's start offset. One shuffle by pack group,
+    then independent local sorts — no global order-by
+    (lynxkite_spark.functions.curation.pack_sequences)."""
+    from lynxkite_spark.functions.curation import pack_sequences
+    from lynxkite_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    out = pack_sequences(d, max_tokens=256, token_col="n_tokens",
+                         num_groups=8, seed=0)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.col("pack_group").cast("long").alias("pack_group"),
+        "start_offset",
+        "chunk",
+    )
+
+
+def _q_docs_domain_mix_plan(spark, sf_dir):
+    """Domain-mix planning: per-source sampling fractions realizing a
+    target char-count mix without upsampling — the binding stratum gets
+    fraction 1.0 (lynxkite_spark.functions.curation.domain_mix_plan)."""
+    from lynxkite_spark.functions.curation import domain_mix_plan
+
+    d = _t(spark, sf_dir, "documents")
+    out = domain_mix_plan(
+        d, "source", "n_chars", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    )
+    return out.select(
+        "source",
+        F.round("available", 6).alias("available"),
+        "target_share",
+        F.round("fraction", 6).alias("fraction"),
+    )
+
+
 def _q_docs_text_embedding(spark, sf_dir):
     """TextEmbedding stand-in as a gate query: deterministic hashed
     n-gram + Rademacher-projection embeddings over the documents table
@@ -1698,13 +1795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_closeness_8roots": _q_closeness,
         "graph_modular_clustering": _q_modular_clustering,
         "graph_fingerprinting": _q_fingerprinting,
-        "graph_dispersion": _q_dispersion,
-        "graph_embeddedness": _q_embeddedness,
-        "graph_assortativity": _q_assortativity,
-        "graph_merge_vertices": _q_merge_vertices,
         "graph_aggregate_neighbors": _q_aggregate_neighbors,
         "graph_set_overlap": _q_set_overlap,
-        "graph_concat_bundles": _q_concat_bundles,
         # -- round-3 additions: ML, vector segmentation, geo --
         "ml_kmeans_clusters": _q_ml_kmeans,
         "segment_by_vector": _q_segment_by_vector,
@@ -1717,9 +1809,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 additions --
         "docs_table_udf_filter": _q_docs_table_udf_filter,
         "graph_set_overlap_cc": _q_set_overlap_cc,
+        # -- round-4 training-data curation family --
+        "docs_gopher_quality": _q_docs_gopher_quality,
+        "docs_decontaminate": _q_docs_decontaminate,
+        "docs_stratified_sample": _q_docs_stratified_sample,
+        "docs_pack_sequences": _q_docs_pack_sequences,
+        "docs_domain_mix_plan": _q_docs_domain_mix_plan,
         # ==== driver window boundary is position 50; everything below
         # ==== was officially green in CORRECTNESS_r02 or r03 and stays
         # ==== continuously verified by tests/test_tail_oracles.py
+        "graph_dispersion": _q_dispersion,
+        "graph_embeddedness": _q_embeddedness,
+        "graph_assortativity": _q_assortativity,
+        "graph_merge_vertices": _q_merge_vertices,
+        "graph_concat_bundles": _q_concat_bundles,
         "tpch_q1_pricing_summary": _q_tpch_q1,
         "rollup_lineitem": _q_rollup,
         "graph_sfigality": _q_sfigality,
@@ -2305,7 +2408,140 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings
             ) GROUP BY label, i
         """,
+        "docs_gopher_quality": _gopher_oracle_sql(),
+        "docs_decontaminate": _decontaminate_oracle_sql(),
+        "docs_stratified_sample": _stratified_sample_oracle_sql(),
+        "docs_pack_sequences": _pack_sequences_oracle_sql(),
+        "docs_domain_mix_plan": """
+            WITH avail AS (
+              SELECT source, CAST(sum(n_chars) AS DOUBLE) AS available
+              FROM documents GROUP BY source
+            ), tgt AS (
+              SELECT source, available,
+                     CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                                      WHEN 'src2' THEN 0.2 END AS DOUBLE)
+                       AS target_share
+              FROM avail
+            ), f AS (
+              SELECT *, min(available / target_share) OVER () AS achievable
+              FROM tgt WHERE target_share IS NOT NULL
+            )
+            SELECT source, round(available, 6) AS available, target_share,
+                   round(least(1.0, target_share * achievable / available), 6)
+                     AS fraction
+            FROM f
+        """,
     }
+
+
+def _gopher_oracle_sql() -> str:
+    """DuckDB twin of gopher_quality_flags with default thresholds; the
+    keep flag is evaluated on unrounded doubles exactly as Spark does."""
+    from lynxkite_spark.functions.curation import (
+        GOPHER_DEFAULTS as P,
+        GOPHER_STOPWORDS,
+        LINES_SQL,
+        WORDS_SQL,
+    )
+
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, {WORDS_SQL} AS w, {LINES_SQL} AS ln FROM documents
+        ), m AS (
+          SELECT doc_id,
+            len(w) AS n_words,
+            coalesce(list_sum(list_transform(w, x -> length(x))), 0)::DOUBLE
+              / greatest(len(w), 1) AS mean_word_len,
+            len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+              / greatest(len(w), 1) AS alpha_word_frac,
+            len(list_filter([{stops}],
+              s -> list_contains(list_transform(w, x -> lower(x)), s)))
+              AS stopword_hits,
+            (len(ln) - len(list_distinct(ln)))::DOUBLE
+              / greatest(len(ln), 1) AS dup_line_frac,
+            (coalesce(list_sum(list_transform(ln, x -> length(x))), 0)
+             - coalesce(list_sum(list_transform(list_distinct(ln),
+                                                x -> length(x))), 0))::DOUBLE
+              / greatest(coalesce(list_sum(list_transform(ln,
+                                           x -> length(x))), 0), 1)
+              AS dup_line_char_frac,
+            coalesce(list_max(list_transform(
+                list_distinct(list_transform(w, x -> lower(x))),
+                u -> len(list_filter(list_transform(w, x -> lower(x)),
+                                     x -> x = u)))), 0)::DOUBLE
+              / greatest(len(w), 1) AS top_word_frac
+          FROM base
+        )
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               round(mean_word_len, 6) AS mean_word_len,
+               round(alpha_word_frac, 6) AS alpha_word_frac,
+               CAST(stopword_hits AS BIGINT) AS stopword_hits,
+               round(dup_line_frac, 6) AS dup_line_frac,
+               round(dup_line_char_frac, 6) AS dup_line_char_frac,
+               round(top_word_frac, 6) AS top_word_frac,
+               (n_words >= {P["min_words"]} AND n_words <= {P["max_words"]}
+                AND mean_word_len >= {P["min_mean_word_len"]}
+                AND mean_word_len <= {P["max_mean_word_len"]}
+                AND alpha_word_frac >= {P["min_alpha_word_frac"]}
+                AND stopword_hits >= {P["min_stopword_hits"]}
+                AND dup_line_frac <= {P["max_dup_line_frac"]}
+                AND dup_line_char_frac <= {P["max_dup_line_char_frac"]}
+                AND top_word_frac <= {P["max_top_word_frac"]}) AS keep
+        FROM m
+    """
+
+
+def _decontaminate_oracle_sql() -> str:
+    from lynxkite_spark.functions.curation import ngram_hashes_sql
+
+    ng = ngram_hashes_sql(5, "text")
+    return f"""
+        WITH bench AS (
+          SELECT DISTINCT g FROM (
+            SELECT unnest({ng}) AS g FROM documents WHERE doc_id % 25 = 0)
+        ), dg AS (
+          SELECT doc_id, unnest({ng}) AS g FROM documents
+          WHERE doc_id % 25 <> 0
+        )
+        SELECT doc_id, count(DISTINCT dg.g) AS n_hits
+        FROM dg SEMI JOIN bench ON dg.g = bench.g
+        GROUP BY doc_id
+    """
+
+
+def _stratified_sample_oracle_sql() -> str:
+    from lynxkite_spark.functions.curation import sample_hash_unit_sql
+
+    u = sample_hash_unit_sql("doc_id::VARCHAR", seed=7)
+    return f"""
+        SELECT doc_id, source FROM documents
+        WHERE {u} < (CASE source WHEN 'src0' THEN 0.6 WHEN 'src1' THEN 0.4
+                                 WHEN 'src2' THEN 0.25 ELSE 0.1 END)
+    """
+
+
+def _pack_sequences_oracle_sql() -> str:
+    from lynxkite_spark.functions.curation import WORDS_SQL
+    from lynxkite_spark.functions.dedup import portable_hash64_sql
+
+    ph = portable_hash64_sql("doc_id::VARCHAR", seed=0)
+    return f"""
+        WITH t AS (
+          SELECT doc_id, CAST(len({WORDS_SQL}) AS BIGINT) AS n_tokens,
+                 ({ph}) % 8 AS pack_group
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n_tokens, pack_group,
+                 sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+          FROM t
+        )
+        SELECT doc_id, n_tokens, CAST(pack_group AS BIGINT) AS pack_group,
+               CAST(start_offset AS BIGINT) AS start_offset,
+               CAST(floor(start_offset / 256.0) AS BIGINT) AS chunk
+        FROM c
+    """
 
 
 def _lang_oracle_sql() -> str:

@@ -1,0 +1,358 @@
+"""Training-data curation beyond dedup: repetition/quality gating
+(Gopher-style rules), benchmark decontamination, deterministic
+stratified sampling with domain-mix planning, and token-window
+sequence packing.
+
+Everything here is JVM-side SQL (whole-stage-codegen'd, zero Python in
+the row path) and is designed around the 100 TB cost model:
+
+* :func:`gopher_quality_flags` — strictly row-local (higher-order
+  functions over the token/line arrays; no shuffle at all).
+* :func:`contaminated_docs` — benchmark n-gram set is DISTINCT'd and
+  broadcast; the corpus side is a map + broadcast-semi-join, so the
+  only shuffle is the per-doc hit aggregation over *matched* rows
+  (contamination is rare by construction, so that shuffle is tiny).
+* :func:`stratified_sample` — map-only predicate on an engine-portable
+  hash; no shuffle, no sampling state, rerunnable with identical output
+  on any cluster size.
+* :func:`pack_sequences` — windows are partitioned by a hash-derived
+  pack group, so the layout sort is ``num_groups`` independent local
+  sorts (one shuffle by group), never a global order-by.
+
+The quality rules follow the public Gopher data-curation heuristics
+(Rae et al. 2021, "Scaling Language Models", Appendix A1.1); the
+decontamination scheme is the public n-gram-overlap method used by GPT-3
+/ PaLM appendix evaluations.  The reference engine (lynxkite) has no
+corpus-curation surface; these are the training-pipeline extensions the
+brief asks for, built in its operator style (DataFrame in → DataFrame
+out, deterministic, oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lynxkite_spark.functions.dedup import portable_hash64, portable_hash64_sql
+
+
+# --------------------------------------------------------------- helpers
+
+def _words(col: Column) -> Column:
+    """Whitespace words, empty text -> empty array (matches text.tokens)."""
+    t = F.trim(col)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def _lines(col: Column) -> Column:
+    """Non-empty trimmed lines of the document."""
+    return F.filter(
+        F.transform(F.split(col, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+
+# The words-side SQL twins (DuckDB) used by oracle generation.  DuckDB's
+# regexp split keeps empty fragments the same way Spark's does, so the
+# guards mirror exactly.
+WORDS_SQL = (
+    "CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+LINES_SQL = (
+    "list_filter(list_transform(regexp_split_to_array(text, '\\n'), "
+    "l -> trim(l)), l -> l <> '')"
+)
+
+
+# ----------------------------------------------- Gopher-style quality rules
+
+# Gopher Appendix A1.1 stopword-presence list.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+GOPHER_DEFAULTS = dict(
+    min_words=5,           # Gopher uses 50; small default so tiny test docs survive
+    max_words=100_000,
+    min_mean_word_len=2.0,  # Gopher: 3..10 (English); relaxed for code/multilingual
+    max_mean_word_len=12.0,
+    min_alpha_word_frac=0.6,   # Gopher: 0.8 of words contain >=1 alphabetic char
+    min_stopword_hits=1,       # Gopher: >=2 of its 8-word list
+    max_dup_line_frac=0.3,     # Gopher: duplicate-line fraction <= 0.30
+    max_dup_line_char_frac=0.2,
+    max_top_word_frac=0.2,     # repetition proxy: most frequent word's share
+)
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", **thresholds
+) -> DataFrame:
+    """Append Gopher-style repetition/quality metrics and a ``keep`` flag.
+
+    All metrics are computed with higher-order functions over the
+    row-local token and line arrays — the operator is a pure map, no
+    shuffle, and survives any scale the scan survives.  The
+    ``top_word_frac`` metric is O(distinct_words * words) per row, which
+    is the right trade at scale: it keeps the whole computation inside
+    one codegen stage instead of exploding tokens into a corpus-wide
+    shuffle.
+
+    Appended columns: ``n_words``, ``mean_word_len``,
+    ``alpha_word_frac``, ``stopword_hits``, ``dup_line_frac``,
+    ``dup_line_char_frac``, ``top_word_frac``, ``keep``.
+    """
+    p = dict(GOPHER_DEFAULTS, **thresholds)
+    w = _words(F.col(text_col))
+    lines = _lines(F.col(text_col))
+    n_words = F.size(w)
+    nz = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_word_len = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ).cast("double") / nz
+    alpha_frac = (
+        F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]"))).cast("double") / nz
+    )
+    lower = F.transform(w, lambda x: F.lower(x))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stopword_hits = F.size(
+        F.filter(stop_arr, lambda s: F.array_contains(lower, s))
+    )
+    n_lines = F.size(lines)
+    nlz = F.greatest(n_lines, F.lit(1)).cast("double")
+    distinct_lines = F.array_distinct(lines)
+    dup_line_frac = (n_lines - F.size(distinct_lines)).cast("double") / nlz
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    distinct_line_chars = F.aggregate(
+        distinct_lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    dup_line_char_frac = (line_chars - distinct_line_chars).cast("double") / (
+        F.greatest(line_chars, F.lit(1)).cast("double")
+    )
+    top_word_frac = (
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(lower),
+                    lambda u: F.size(F.filter(lower, lambda x: x == u)),
+                )
+            ),
+            F.lit(0),
+        ).cast("double")
+        / nz
+    )
+    out = (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("alpha_word_frac", alpha_frac)
+        .withColumn("stopword_hits", stopword_hits.cast("long"))
+        .withColumn("dup_line_frac", dup_line_frac)
+        .withColumn("dup_line_char_frac", dup_line_char_frac)
+        .withColumn("top_word_frac", top_word_frac)
+    )
+    keep = (
+        (F.col("n_words") >= p["min_words"])
+        & (F.col("n_words") <= p["max_words"])
+        & (F.col("mean_word_len") >= p["min_mean_word_len"])
+        & (F.col("mean_word_len") <= p["max_mean_word_len"])
+        & (F.col("alpha_word_frac") >= p["min_alpha_word_frac"])
+        & (F.col("stopword_hits") >= p["min_stopword_hits"])
+        & (F.col("dup_line_frac") <= p["max_dup_line_frac"])
+        & (F.col("dup_line_char_frac") <= p["max_dup_line_char_frac"])
+        & (F.col("top_word_frac") <= p["max_top_word_frac"])
+    )
+    return out.withColumn("keep", keep)
+
+
+# ------------------------------------------------------- decontamination
+
+def ngram_hashes(col: Column, n: int) -> Column:
+    """Portable 60-bit hashes of the word n-grams of a text column.
+
+    Built row-locally (sequence + slice + md5 under higher-order
+    transform); a doc with fewer than ``n`` words yields an empty array.
+    """
+    w = F.transform(_words(col), lambda x: F.lower(x))
+    count = F.size(w) - F.lit(n - 1)
+    # Guard: sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty.
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.concat(F.array_join(F.slice(w, i, n), " "), F.lit("|0"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+
+
+def ngram_hashes_sql(n: int, text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`ngram_hashes` for oracle generation."""
+    w = (
+        f"CASE WHEN trim({text_expr}) = '' THEN []::VARCHAR[] ELSE "
+        f"list_transform(regexp_split_to_array(trim({text_expr}), '\\s+'), "
+        "x -> lower(x)) END"
+    )
+    return (
+        f"list_transform(range(1, greatest(len({w}) - {n - 1}, 0) + 1), "
+        f"i -> CAST(('0x' || substr(md5(array_to_string("
+        f"list_slice({w}, i, i + {n - 1}), ' ') || '|0'), 1, 15)) AS BIGINT))"
+    )
+
+
+def contaminated_docs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: docs sharing any word ``n``-gram with
+    the benchmark set, with the count of distinct matched n-grams.
+
+    The benchmark n-gram set (small by definition — eval suites are
+    MB-scale against a TB-scale corpus) is distinct'd and broadcast, so
+    the corpus side is scan → row-local n-gram hashing → explode →
+    broadcast LEFT SEMI join.  Only *matching* (doc, ngram) rows reach
+    the final per-doc aggregation, so the one real shuffle is
+    proportional to contamination, not corpus size.
+
+    Returns ``(id_col, n_hits)`` for contaminated docs only.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(ngram_hashes(F.col(text_col), n)).alias("g")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(ngram_hashes(F.col(text_col), n)).alias("g")
+    )
+    hits = doc_grams.join(F.broadcast(bench_grams), "g", "left_semi")
+    return hits.groupBy(id_col).agg(F.count_distinct("g").alias("n_hits"))
+
+
+# -------------------------------------------- stratified sampling / mixing
+
+def sample_hash_unit(col: Column, seed: int = 0) -> Column:
+    """Deterministic uniform [0,1) value per key — the portable 60-bit
+    hash scaled down.  Same doc always gets the same draw, on any
+    cluster, any partitioning, any run."""
+    return (portable_hash64(col, seed) % F.lit(1_000_000)).cast("double") / 1e6
+
+
+def sample_hash_unit_sql(expr: str, seed: int = 0) -> str:
+    return f"(({portable_hash64_sql(expr, seed)}) % 1000000) / 1e6"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep each row iff its deterministic hash draw falls under its
+    stratum's fraction.  Map-only (no shuffle, no state): the sampling
+    decision is a pure function of (key, seed), so the sample is
+    reproducible across runs and cluster sizes and composes with
+    incremental ingestion — re-running over a grown corpus keeps
+    exactly the previously kept rows plus new draws.
+    """
+    frac = F.lit(float(default_fraction))
+    for k, v in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
+    return df.where(sample_hash_unit(F.col(key_col), seed) < frac)
+
+
+def domain_mix_plan(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    target_shares: dict[str, float],
+) -> DataFrame:
+    """Compute per-stratum sampling fractions that realize a target mix.
+
+    Given available weight (e.g. token count) per stratum and target
+    shares summing to 1, the largest achievable corpus without
+    upsampling is ``N = min_s available_s / share_s``; each stratum then
+    samples ``fraction_s = share_s * N / available_s``.  One tiny
+    aggregation plus an unpartitioned min over the (few) strata rows —
+    driver-scale by construction.
+
+    Returns ``(strata_col, available, target_share, fraction)``.
+    """
+    share = F.lit(None).cast("double")
+    for k, v in sorted(target_shares.items()):
+        share = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(share)
+    avail = df.groupBy(strata_col).agg(
+        F.sum(F.col(weight_col)).cast("double").alias("available")
+    ).withColumn("target_share", share).where(F.col("target_share").isNotNull())
+    from pyspark.sql import Window
+
+    achievable = F.min(
+        F.col("available") / F.col("target_share")
+    ).over(Window.partitionBy())
+    return avail.select(
+        strata_col,
+        "available",
+        "target_share",
+        F.least(
+            F.lit(1.0),
+            F.col("target_share") * achievable / F.col("available"),
+        ).alias("fraction"),
+    )
+
+
+# ----------------------------------------------------- sequence packing
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    token_col: str,
+    key_col: str = "doc_id",
+    num_groups: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Token-offset chunk packing for training-window assembly.
+
+    Documents are laid out consecutively in ``key_col`` order inside
+    ``num_groups`` independent pack groups (group = portable hash of the
+    key); a document belongs to the chunk that contains its starting
+    token offset, so ``(pack_group, chunk)`` is the training-window id.
+    Chunks hold ~``max_tokens`` tokens; a document longer than the
+    remaining room runs over into the next chunk boundary (standard
+    causal-LM packing with document boundaries preserved — the consumer
+    splits at attention-mask level, not here).
+
+    Scale shape: one shuffle (hash by pack group), then ``num_groups``
+    *independent* local sorts — never a global order-by.  Each group's
+    window state is a running sum, so memory per task is O(1).  At
+    100 TB, set ``num_groups`` ≈ a few × cluster cores: determinism is
+    per-(key-set, num_groups, seed) and does not depend on executor
+    count.
+
+    Returns the input plus ``pack_group``, ``start_offset``, ``chunk``.
+    """
+    from pyspark.sql import Window
+
+    g = (portable_hash64(F.col(key_col), seed) % num_groups).alias("pack_group")
+    w = Window.partitionBy("pack_group").orderBy(key_col)
+    toks = F.col(token_col).cast("long")
+    cum = F.sum(toks).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        df.withColumn("pack_group", g)
+        .withColumn("start_offset", (cum - toks).cast("long"))
+        .withColumn(
+            "chunk", F.floor(F.col("start_offset") / F.lit(int(max_tokens)))
+        )
+    )

@@ -1,0 +1,173 @@
+"""Training-data curation family: Gopher quality rules, benchmark
+decontamination, deterministic stratified sampling, domain-mix planning,
+and token-window sequence packing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lynxkite_spark.functions.curation import (
+    contaminated_docs,
+    domain_mix_plan,
+    gopher_quality_flags,
+    ngram_hashes,
+    pack_sequences,
+    sample_hash_unit,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # good doc: enough words, normal shape
+        (0, "the quick brown fox jumps over the lazy dog and runs away to the hills", "good"),
+        # repetitive doc: one word dominates
+        (1, "spam spam spam spam spam spam spam spam spam spam eggs and the ham", "rep"),
+        # duplicate lines
+        (2, "the same line here\nthe same line here\nthe same line here\nand one more with that", "dup"),
+        # too short
+        (3, "hi there", "short"),
+        # empty
+        (4, "", "empty"),
+        # no stopwords / non-alpha heavy
+        (5, "1234 5678 9999 0000 1111 2222 3333 4444 5555 6666", "nums"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, tag string")
+
+
+def test_gopher_flags_basic(docs):
+    out = {r["tag"]: r for r in gopher_quality_flags(docs).collect()}
+    assert out["good"]["keep"] is True
+    # repetition: 10/14 words are "spam"
+    assert out["rep"]["top_word_frac"] > 0.7 and out["rep"]["keep"] is False
+    # 2 of 4 lines are duplicates
+    assert out["dup"]["dup_line_frac"] == pytest.approx(0.5)
+    assert out["dup"]["keep"] is False
+    assert out["short"]["n_words"] == 2 and out["short"]["keep"] is False
+    assert out["empty"]["n_words"] == 0 and out["empty"]["keep"] is False
+    assert out["nums"]["alpha_word_frac"] == 0.0 and out["nums"]["keep"] is False
+
+
+def test_gopher_flags_row_local_plan(docs):
+    # pure map: no exchange in the plan
+    plan = gopher_quality_flags(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_ngram_hashes_short_doc(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, "")], "id long, text string")
+    out = df.select(F.size(ngram_hashes(F.col("text"), 5)).alias("n")).collect()
+    assert [r["n"] for r in out] == [0, 0]
+
+
+def test_contaminated_docs_planted(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark 5-gram "beta gamma delta epsilon zeta"
+            (1, "xx beta gamma delta epsilon zeta yy zz ww vv"),
+            # clean
+            (2, "totally unrelated words in this document right here ok"),
+            # case-insensitive match
+            (3, "ALPHA BETA GAMMA DELTA EPSILON more words follow here"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r["doc_id"]: r["n_hits"] for r in
+            contaminated_docs(corpus, bench, n=5).collect()}
+    assert 1 in hits and 3 in hits and 2 not in hits
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    df = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+    frac = {"src0": 0.5, "src1": 0.1, "src2": 0.0}
+    a = stratified_sample(df, "source", frac, "doc_id", default_fraction=0.9)
+    b = stratified_sample(df.repartition(13), "source", frac, "doc_id",
+                          default_fraction=0.9)
+    ra = sorted(r["doc_id"] for r in a.collect())
+    rb = sorted(r["doc_id"] for r in b.collect())
+    assert ra == rb  # partitioning-invariant determinism
+    got = {r["source"]: r["n"] for r in
+           a.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got.get("src2", 0) == 0
+    assert abs(got["src0"] / 5000 - 0.5) < 0.05
+    assert abs(got["src1"] / 5000 - 0.1) < 0.03
+    assert abs(got["src3"] / 5000 - 0.9) < 0.05  # default fraction
+
+
+def test_sample_composes_with_corpus_growth(spark):
+    """Hash sampling must keep exactly the same rows when the corpus
+    grows (incremental ingestion) — the draw is per-key, not per-run."""
+    small = spark.range(1000).select(F.col("id").alias("doc_id"),
+                                     F.lit("s").alias("source"))
+    big = spark.range(2000).select(F.col("id").alias("doc_id"),
+                                   F.lit("s").alias("source"))
+    f = {"s": 0.3}
+    kept_small = {r["doc_id"] for r in
+                  stratified_sample(small, "source", f, "doc_id").collect()}
+    kept_big = {r["doc_id"] for r in
+                stratified_sample(big, "source", f, "doc_id").collect()}
+    assert kept_small == {k for k in kept_big if k < 1000}
+
+
+def test_domain_mix_plan(spark):
+    df = spark.createDataFrame(
+        [("wiki", 100), ("wiki", 100), ("web", 1000), ("books", 50)],
+        "source string, n_tokens long",
+    )
+    plan = {r["source"]: r for r in domain_mix_plan(
+        df, "source", "n_tokens",
+        {"wiki": 0.5, "web": 0.3, "books": 0.2}).collect()}
+    # books binds: achievable = 50 / 0.2 = 250 tokens total
+    assert plan["books"]["fraction"] == pytest.approx(1.0)
+    assert plan["wiki"]["fraction"] == pytest.approx(0.5 * 250 / 200)
+    assert plan["web"]["fraction"] == pytest.approx(0.3 * 250 / 1000)
+    # realized mix == target shares
+    total = sum(p["fraction"] * p["available"] for p in plan.values())
+    for s, share in [("wiki", 0.5), ("web", 0.3), ("books", 0.2)]:
+        realized = plan[s]["fraction"] * plan[s]["available"] / total
+        assert realized == pytest.approx(share, abs=1e-9)
+
+
+def test_pack_sequences_offsets_and_chunks(spark):
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 37 + 1).alias("n_tokens"),
+    )
+    out = pack_sequences(df, max_tokens=100, token_col="n_tokens",
+                         num_groups=4).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["pack_group"], []).append(r)
+    assert len(by_group) == 4
+    for rows in by_group.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in rows:
+            assert r["start_offset"] == off  # consecutive layout in key order
+            assert r["chunk"] == off // 100  # chunk containing the start offset
+            off += r["n_tokens"]
+
+
+def test_pack_sequences_partition_invariance(spark):
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 11 + 1).alias("n_tokens"))
+    a = pack_sequences(df, 64, "n_tokens", num_groups=8).collect()
+    b = pack_sequences(df.repartition(7), 64, "n_tokens", num_groups=8).collect()
+    key = lambda rows: sorted((r["doc_id"], r["pack_group"], r["start_offset"],
+                               r["chunk"]) for r in rows)
+    assert key(a) == key(b)
+
+
+def test_sample_hash_unit_range(spark):
+    df = spark.range(5000).select(sample_hash_unit(F.col("id")).alias("u"))
+    row = df.agg(F.min("u").alias("lo"), F.max("u").alias("hi"),
+                 F.avg("u").alias("mu")).collect()[0]
+    assert 0.0 <= row["lo"] and row["hi"] < 1.0
+    assert abs(row["mu"] - 0.5) < 0.03

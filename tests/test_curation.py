@@ -171,3 +171,34 @@ def test_sample_hash_unit_range(spark):
                  F.avg("u").alias("mu")).collect()[0]
     assert 0.0 <= row["lo"] and row["hi"] < 1.0
     assert abs(row["mu"] - 0.5) < 0.03
+
+
+def test_gopher_flags_compose_with_streaming(spark, tmp_path):
+    """The quality gate is a stateless row-local map, so the identical
+    call works on a readStream and yields the batch result when drained
+    (the streaming form of corpus curation: gate documents on ingest)."""
+    docs = spark.createDataFrame(
+        [(i, ("the quick brown fox jumps over a lazy dog and that " * 3)
+          if i % 2 == 0 else "spam " * 30) for i in range(20)],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    docs.coalesce(1).write.parquet(str(src / "batch0"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src / "batch0"))
+    q = (
+        gopher_quality_flags(stream).select("doc_id", "keep")
+        .writeStream.format("memory").queryName("stream_gopher")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["keep"]
+           for r in spark.sql("SELECT * FROM stream_gopher").collect()}
+    want = {r["doc_id"]: r["keep"]
+            for r in gopher_quality_flags(docs).select("doc_id", "keep").collect()}
+    assert got == want
+    assert any(v for v in want.values()) and not all(v for v in want.values())

@@ -1362,7 +1362,9 @@ def _q_docs_decontaminate(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     bench = d.where(F.col("doc_id") % 25 == 0)
     corpus = d.where(F.col("doc_id") % 25 != 0)
-    return contaminated_docs(corpus, bench, n=5)
+    # portable hash so DuckDB replays the n-gram identities; production
+    # default is xxhash64 (one JVM intrinsic per n-gram)
+    return contaminated_docs(corpus, bench, n=5, portable=True)
 
 
 def _q_docs_stratified_sample(spark, sf_dir):

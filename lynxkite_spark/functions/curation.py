@@ -168,11 +168,15 @@ def gopher_quality_flags(
 
 # ------------------------------------------------------- decontamination
 
-def ngram_hashes(col: Column, n: int) -> Column:
-    """Portable 60-bit hashes of the word n-grams of a text column.
+def ngram_hashes(col: Column, n: int, portable: bool = False) -> Column:
+    """64-bit hashes of the word n-grams of a text column, built
+    row-locally (sequence + slice under higher-order transform); a doc
+    with fewer than ``n`` words yields an empty array.
 
-    Built row-locally (sequence + slice + md5 under higher-order
-    transform); a doc with fewer than ``n`` words yields an empty array.
+    Default is ``xxhash64`` (one JVM intrinsic per n-gram — the hot-path
+    choice at corpus scale); ``portable=True`` switches to the
+    md5-derived 60-bit hash that DuckDB can replay (oracle parity), same
+    trade as dedup.portable_hash64.
     """
     w = F.transform(_words(col), lambda x: F.lower(x))
     count = F.size(w) - F.lit(n - 1)
@@ -180,18 +184,20 @@ def ngram_hashes(col: Column, n: int) -> Column:
     idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
         F.array().cast("array<int>")
     )
-    return F.transform(
-        idx,
-        lambda i: F.conv(
-            F.substring(
-                F.md5(F.concat(F.array_join(F.slice(w, i, n), " "), F.lit("|0"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
-    )
+    if portable:
+        return F.transform(
+            idx,
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat(F.array_join(F.slice(w, i, n), " "), F.lit("|0"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+    return F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(w, i, n), " ")))
 
 
 def ngram_hashes_sql(n: int, text_expr: str = "text") -> str:
@@ -214,6 +220,7 @@ def contaminated_docs(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: docs sharing any word ``n``-gram with
     the benchmark set, with the count of distinct matched n-grams.
@@ -229,12 +236,12 @@ def contaminated_docs(
     """
     bench_grams = (
         benchmark.select(
-            F.explode(ngram_hashes(F.col(text_col), n)).alias("g")
+            F.explode(ngram_hashes(F.col(text_col), n, portable)).alias("g")
         )
         .distinct()
     )
     doc_grams = docs.select(
-        F.col(id_col), F.explode(ngram_hashes(F.col(text_col), n)).alias("g")
+        F.col(id_col), F.explode(ngram_hashes(F.col(text_col), n, portable)).alias("g")
     )
     hits = doc_grams.join(F.broadcast(bench_grams), "g", "left_semi")
     return hits.groupBy(id_col).agg(F.count_distinct("g").alias("n_hits"))

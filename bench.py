@@ -135,6 +135,32 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     simhash(docs).count()
     times["q_docs_simhash"] = round(time.time() - t0, 3)
 
+    # round-4 curation family (production hash paths, not the oracle ones)
+    from lynxkite_spark.functions.curation import (
+        contaminated_docs,
+        gopher_quality_flags,
+        pack_sequences,
+    )
+    from lynxkite_spark.functions.text import tokens as _tok
+
+    t0 = time.time()
+    gopher_quality_flags(docs).where("keep").count()
+    times["q_docs_gopher_quality"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    contaminated_docs(
+        docs.where(F.col("doc_id") % 25 != 0),
+        docs.where(F.col("doc_id") % 25 == 0), n=5,
+    ).count()
+    times["q_docs_decontaminate"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    pack_sequences(
+        docs.select("doc_id", F.size(_tok(F.col("text"))).alias("n_tokens")),
+        max_tokens=2048, token_col="n_tokens", num_groups=64,
+    ).select("pack_group", "chunk").distinct().count()
+    times["q_docs_pack_sequences"] = round(time.time() - t0, 3)
+
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = embs.where(F.col("vec_id") < 100)
     t0 = time.time()

@@ -363,3 +363,95 @@ def pack_sequences(
             "chunk", F.floor(F.col("start_offset") / F.lit(int(max_tokens)))
         )
     )
+
+
+# ----------------------------------------------- C4-style line cleaning
+
+C4_BAD_LINE_WORDS = ["javascript", "cookie", "privacy policy", "terms of use"]
+C4_PAGE_DROP_STRINGS = ["lorem ipsum", "{"]
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2019, C4 appendix):
+    keep only lines that end in terminal punctuation, have at least
+    ``min_line_words`` words, and contain none of the boilerplate
+    markers; drop whole pages containing ``lorem ipsum`` / ``{`` or with
+    fewer than ``min_kept_lines`` surviving lines.
+
+    Entirely row-local (higher-order functions over the line array — no
+    shuffle, no Python), like the Gopher gate it complements: Gopher
+    judges the document, C4 repairs it line by line.
+
+    Appends ``clean_text`` (kept lines re-joined), ``n_lines_kept``,
+    ``n_lines_dropped``, ``keep_page``.
+    """
+    lines = _lines(F.col(text_col))
+    lower = F.lower(F.col(text_col))
+
+    def line_ok(l: Column) -> Column:
+        words = F.size(F.split(l, r"\s+"))
+        terminal = l.rlike('[.!?"]$')
+        low = F.lower(l)
+        bad = None
+        for m in C4_BAD_LINE_WORDS:
+            hit = low.contains(m)
+            bad = hit if bad is None else (bad | hit)
+        return terminal & (words >= min_line_words) & ~bad
+
+    kept = F.filter(lines, line_ok)
+    n_kept = F.size(kept)
+    page_bad = None
+    for m in C4_PAGE_DROP_STRINGS:
+        hit = lower.contains(m)
+        page_bad = hit if page_bad is None else (page_bad | hit)
+    return (
+        df.withColumn("clean_text", F.array_join(kept, "\n"))
+        .withColumn("n_lines_kept", n_kept.cast("long"))
+        .withColumn(
+            "n_lines_dropped", (F.size(lines) - n_kept).cast("long")
+        )
+        .withColumn(
+            "keep_page", (~page_bad) & (n_kept >= F.lit(min_kept_lines))
+        )
+    )
+
+
+# --------------------------------------------------------- PII masking
+
+# Conservative, RE2/Java-portable patterns (no lookarounds) so the same
+# regex runs in Spark (Java) and the DuckDB (RE2) oracle.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+\d{1,3}[- ]\d{2,4}[- ]\d{3,4}[- ]\d{3,4}",
+}
+
+
+def mask_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "masked_text"
+) -> DataFrame:
+    """Replace emails, IPv4 addresses, and international phone numbers
+    with ``<EMAIL>`` / ``<IP>`` / ``<PHONE>`` tokens and count the hits
+    per category. Pure ``regexp_replace`` / ``regexp_count`` chain —
+    map-only, codegen'd, idempotent (the mask tokens never re-match).
+
+    The patterns are deliberately conservative (high precision): a
+    training-data pipeline masks what it is sure about and routes the
+    rest to review, because a false positive destroys real text.
+    """
+    col = F.col(text_col)
+    counts = {
+        k: F.regexp_count(col, F.lit(p)).cast("long").alias(f"n_{k}")
+        for k, p in PII_PATTERNS.items()
+    }
+    masked = col
+    for k, p in PII_PATTERNS.items():
+        masked = F.regexp_replace(masked, p, f"<{k.upper() if k != 'ipv4' else 'IP'}>")
+    return df.select(
+        "*", *counts.values()
+    ).withColumn(out_col, masked)

@@ -202,3 +202,55 @@ def test_gopher_flags_compose_with_streaming(spark, tmp_path):
             for r in gopher_quality_flags(docs).select("doc_id", "keep").collect()}
     assert got == want
     assert any(v for v in want.values()) and not all(v for v in want.values())
+
+
+def test_c4_line_filter_paths(spark):
+    from lynxkite_spark.functions.curation import c4_line_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "A good first sentence with enough words here.\n"
+                "Enable javascript to continue please right now.\n"
+                "Too short.\n"
+                "Second proper sentence with plenty of words follows!\n"
+                "Third proper sentence with plenty of words concludes."),
+            (2, "lorem ipsum dolor sit amet and then some more words.\n"
+                "A fine sentence with many good words inside it.\n"
+                "Another fine sentence with many good words inside it.\n"
+                "Yet another fine sentence with many good words appears."),
+            (3, "no terminal punctuation on this only line at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+    assert out[1]["n_lines_kept"] == 3 and out[1]["keep_page"] is True
+    assert "javascript" not in out[1]["clean_text"]
+    assert "Too short." not in out[1]["clean_text"]
+    # lorem ipsum kills the page even though enough lines survive
+    assert out[2]["n_lines_kept"] == 4 and out[2]["keep_page"] is False
+    assert out[3]["n_lines_kept"] == 0 and out[3]["clean_text"] == ""
+    assert out[3]["keep_page"] is False
+
+
+def test_mask_pii_planted_and_idempotent(spark):
+    from lynxkite_spark.functions.curation import mask_pii
+
+    df = spark.createDataFrame(
+        [(1, "Mail a.b-c_d@sub.example.co.uk or 192.168.0.1 / +44-20-7946-0958 ok"),
+         (2, "Nothing sensitive in here at all")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in mask_pii(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (1, 1, 1)
+    m = out[1]["masked_text"]
+    assert "<EMAIL>" in m and "<IP>" in m and "<PHONE>" in m
+    assert "example" not in m and "192.168" not in m and "7946" not in m
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
+    assert out[2]["masked_text"] == "Nothing sensitive in here at all"
+    # idempotent: masking a masked text changes nothing
+    again = mask_pii(
+        mask_pii(df).select("doc_id", F.col("masked_text").alias("text"))
+    ).collect()
+    for r in again:
+        assert r["masked_text"] == out[r["doc_id"]]["masked_text"]
+        assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (0, 0, 0)

@@ -254,3 +254,69 @@ def test_mask_pii_planted_and_idempotent(spark):
     for r in again:
         assert r["masked_text"] == out[r["doc_id"]]["masked_text"]
         assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (0, 0, 0)
+
+
+def test_curation_pipeline_end_to_end(spark):
+    """The full curation chain composes: exact dedup -> Gopher gate ->
+    C4 line cleaning -> benchmark decontamination -> stratified sample
+    -> sequence packing. Plants one defect per stage and checks each is
+    removed exactly once, in order."""
+    from lynxkite_spark.functions.curation import c4_line_filter, contaminated_docs
+    from lynxkite_spark.functions.dedup import exact_duplicates
+    from lynxkite_spark.functions.text import tokens
+
+    base = ("This is a perfectly reasonable opening sentence with words.\n"
+            "Here's another quality sentence that survives the line rules.\n"
+            "And a third proper sentence to keep the page alive today.")
+    rows = []
+    for i in range(400):
+        text = base + f"\nDocument {i} has its own distinctive closing sentence number {i * 7}."
+        if i % 50 == 0 and i > 0:
+            text = rows[0][1]                      # exact duplicate of doc 0
+        elif i % 97 == 0 and i > 0:
+            text = "spam " * 40                    # repetitive -> gopher kills
+        rows.append((i, text, f"src{i % 3}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame(
+        [(9999, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string")
+    # plant benchmark contamination into doc 7
+    docs = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7,
+               F.concat(F.col("text"),
+                        F.lit("\nalpha beta gamma delta epsilon zeta eta theta appears here too.")))
+        .otherwise(F.col("text")))
+
+    d1 = docs.join(
+        exact_duplicates(docs).where(~F.col("is_duplicate")).select("doc_id"),
+        "doc_id")
+    d2 = gopher_quality_flags(d1).where("keep")
+    d3 = c4_line_filter(d2, text_col="text").where("keep_page") \
+        .select("doc_id", F.col("clean_text").alias("text"), "source")
+    bad = contaminated_docs(d3, bench, n=5)
+    d4 = d3.join(bad.select("doc_id"), "doc_id", "left_anti")
+    d5 = stratified_sample(d4, "source", {"src0": 1.0, "src1": 1.0, "src2": 0.0},
+                           "doc_id")
+    packed = pack_sequences(
+        d5.select("doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens")),
+        max_tokens=128, token_col="n_tokens", num_groups=4)
+    out = packed.collect()
+
+    kept_ids = {r["doc_id"] for r in out}
+    assert 0 in kept_ids
+    assert not any(i % 50 == 0 and i > 0 for i in kept_ids)   # dups gone
+    assert not any(i % 97 == 0 and i > 0 for i in kept_ids)   # spam gone
+    assert 7 not in kept_ids                                  # contaminated gone
+    assert all(r["source"] != "src2" for r in out)            # sampled out
+    assert len(kept_ids) > 200                                # most docs survive
+    # packing invariant holds on the surviving set
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["pack_group"], []).append(r)
+    for rows_g in by_group.values():
+        rows_g.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in rows_g:
+            assert r["start_offset"] == off
+            off += r["n_tokens"]

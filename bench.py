@@ -6,14 +6,30 @@ Prints ONE JSON line:
 
 ``value`` is the total wall time of the headline queries; ``queries``
 maps each to its seconds. Extra keys record the north-rule evidence:
-PageRank edges/sec throughput and (when SPARK_GRAFT_SCALING=1) the
-two-parallelism scaling run (local[8] vs local[32]) with efficiency.
+PageRank edges/sec throughput and the two-parallelism scaling run
+(local[2] vs local[8], plus local[32] headline) with efficiency.
+
+Execution-budget contract (round 5 — round 4's official run was killed
+by the driver's timeout mid-shuffle, leaving nothing parseable):
+
+* the whole run fits ``--budget-seconds`` (default
+  $SPARK_GRAFT_BENCH_BUDGET or 1650 s): stages are value-ordered and the
+  low-value tail (third scaling pair, control kernels, clustered-ANN
+  corpus) is skipped — loudly, into a ``skipped`` list — when the
+  remaining wall cannot fit the next stage's measured-so-far estimate;
+* the scaling probe graph is generated ONCE, written to
+  ``.bench_cache/`` as parquet, and every measurement session reads it
+  back (round 4 regenerated the 64M-edge graph inside each of the 6+
+  sessions — the single biggest avoidable cost);
+* a SIGTERM handler prints the latest complete JSON snapshot before
+  dying, so even a hard external timeout leaves a parseable artifact.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -32,6 +48,96 @@ from lynxkite_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# Scaling-probe defaults. The 8M-vertex / 64M-edge graph is the smallest
+# size where per-core compute dominates the fixed per-iteration serial
+# cost (driver barrier + localCheckpoint) at local[8] — shrinking it
+# compresses the measured 2→8 efficiency below the executors' true
+# scaling (round-4 protocol, BENCH/BASELINE.md).
+DEFAULT_SCALE_N = 8_000_000
+DEFAULT_OUT_DEGREE = 8
+
+
+class Budget:
+    """Wall-clock budget for one bench run. Stages ask ``allow(stage,
+    est)`` before starting; a denial is recorded in ``skipped`` (and
+    surfaced in the output JSON) so a trimmed run is auditable, never
+    silent."""
+
+    def __init__(self, total_seconds: float):
+        self.t0 = time.time()
+        self.total = float(total_seconds)
+        self.skipped: list[str] = []
+
+    def elapsed(self) -> float:
+        return time.time() - self.t0
+
+    def remaining(self) -> float:
+        return self.total - self.elapsed()
+
+    def allow(self, stage: str, est_seconds: float) -> bool:
+        if self.remaining() >= est_seconds:
+            return True
+        self.skipped.append(
+            f"{stage} (est {int(est_seconds)}s > remaining "
+            f"{max(0, int(self.remaining()))}s)"
+        )
+        print(f"bench budget: skipping {stage}", file=sys.stderr)
+        return False
+
+
+# Latest complete JSON snapshot; printed by the SIGTERM handler so an
+# external `timeout` kill still leaves one parseable stdout line.
+_LATEST_SNAPSHOT: dict | None = None
+
+
+def _set_snapshot(d: dict) -> None:
+    global _LATEST_SNAPSHOT
+    _LATEST_SNAPSHOT = d
+
+
+def _sigterm_handler(signum, frame):  # pragma: no cover - timing-dependent
+    if _LATEST_SNAPSHOT is not None:
+        snap = dict(_LATEST_SNAPSHOT)
+        snap["terminated_early"] = True
+        print(json.dumps(snap), flush=True)
+    os._exit(124)
+
+
+def _probe_cache_dir(n: int, out_degree: int, seed: int) -> str:
+    return os.path.join(REPO, ".bench_cache", f"scale_free_n{n}_d{out_degree}_s{seed}")
+
+
+def ensure_probe_graph(n: int, out_degree: int = DEFAULT_OUT_DEGREE,
+                       seed: int = 42, parts: int = 64) -> str:
+    """Generate the scaling probe graph once and persist its edges as
+    parquet (64 files, matching the fixed scaling shuffle plan). Every
+    measurement session `spark.read`s this instead of re-running the
+    generator — the vertex side is a free ``spark.range``. Returns the
+    edge-parquet path."""
+    path = _probe_cache_dir(n, out_degree, seed)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from lynxkite_spark.operators.generators import scale_free
+
+    spark = get_spark(cores=32, shuffle_partitions=parts, app_name="benchgen")
+    g = scale_free(spark, n=n, out_degree=out_degree, seed=seed)
+    g.edges.repartition(parts).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def load_probe_graph(spark, n: int, out_degree: int = DEFAULT_OUT_DEGREE,
+                     seed: int = 42) -> Graph:
+    from lynxkite_spark.plans.checkpoint import materialize
+
+    edges = spark.read.parquet(_probe_cache_dir(n, out_degree, seed))
+    vertices = spark.range(n).select("id")
+    # One in-memory checkpoint per session: the iterative gather join
+    # re-reads the edge table every iteration — from the block manager,
+    # not a per-iteration parquet decode.
+    return Graph(vertices=materialize(vertices), edges=materialize(edges))
 
 
 def coorder_graph(spark, sf_dir: str, symmetric: bool) -> Graph:
@@ -53,9 +159,10 @@ def coorder_graph(spark, sf_dir: str, symmetric: bool) -> Graph:
     return Graph(vertices=parts, edges=edges)
 
 
-def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
+def run_suite(spark, sf_dir: str, budget: Budget | None = None) -> tuple[dict, dict]:
     times: dict[str, float] = {}
     extra: dict = {}
+    budget = budget or Budget(float("inf"))
 
     g_sym = coorder_graph(spark, sf_dir, symmetric=True)
     g_canon = coorder_graph(spark, sf_dir, symmetric=False)
@@ -199,7 +306,8 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     times["q_emb_ann_auto_geometry"] = round(time.time() - t0, 3)
     extra["ann_auto_geometry_default"] = [auto_r, auto_b]
     ann_pass("default", n_planes=auto_r, bands=auto_b)
-    ann_pass("high_recall", profile="high_recall")
+    if budget.allow("ann high_recall pass", 40):
+        ann_pass("high_recall", profile="high_recall")
     bf.unpersist()
     extra["ann_recall_at_10"] = extra["ann_recall_at_10_default"]
 
@@ -208,32 +316,34 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     # cheap geometry and measure high recall here.
     import numpy as np
 
-    rng = np.random.default_rng(7)
-    centers = rng.normal(size=(200, 64))
-    cvecs = centers[np.arange(20_000) % 200] + 0.12 * rng.normal(
-        size=(20_000, 64))
-    cdf = spark.createDataFrame(
-        [(int(i), [float(x) for x in row]) for i, row in enumerate(cvecs)],
-        "vec_id long, embedding array<double>",
-    ).persist()
-    cdf.count()
-    cq = cdf.where(F.col("vec_id") < 100)
-    cbf = brute_force_topk(cdf, cq, k=10).select(
-        "query_id", "neighbor_id").persist()
-    cbf_rows = cbf.count()
-    t0 = time.time()
-    c_r, c_b = auto_band_geometry(cdf, cq, k=10)
-    times["q_emb_ann_clustered_auto_geometry"] = round(time.time() - t0, 3)
-    extra["ann_auto_geometry_clustered"] = [c_r, c_b]
-    t0 = time.time()
-    cann = ann_lsh_topk(cdf, cq, k=10, n_planes=c_r, bands=c_b).select(
-        "query_id", "neighbor_id").persist()
-    cann.count()
-    times["q_emb_ann_clustered"] = round(time.time() - t0, 3)
-    chits = cann.join(cbf, ["query_id", "neighbor_id"]).count()
-    extra["ann_recall_at_10_clustered"] = round(chits / max(cbf_rows, 1), 3)
-    for d in (cann, cbf, cdf):
-        d.unpersist()
+    run_clustered = budget.allow("clustered-ANN corpus", 150)
+    if run_clustered:
+        rng = np.random.default_rng(7)
+        centers = rng.normal(size=(200, 64))
+        cvecs = centers[np.arange(20_000) % 200] + 0.12 * rng.normal(
+            size=(20_000, 64))
+        cdf = spark.createDataFrame(
+            [(int(i), [float(x) for x in row]) for i, row in enumerate(cvecs)],
+            "vec_id long, embedding array<double>",
+        ).persist()
+        cdf.count()
+        cq = cdf.where(F.col("vec_id") < 100)
+        cbf = brute_force_topk(cdf, cq, k=10).select(
+            "query_id", "neighbor_id").persist()
+        cbf_rows = cbf.count()
+        t0 = time.time()
+        c_r, c_b = auto_band_geometry(cdf, cq, k=10)
+        times["q_emb_ann_clustered_auto_geometry"] = round(time.time() - t0, 3)
+        extra["ann_auto_geometry_clustered"] = [c_r, c_b]
+        t0 = time.time()
+        cann = ann_lsh_topk(cdf, cq, k=10, n_planes=c_r, bands=c_b).select(
+            "query_id", "neighbor_id").persist()
+        cann.count()
+        times["q_emb_ann_clustered"] = round(time.time() - t0, 3)
+        chits = cann.join(cbf, ["query_id", "neighbor_id"]).count()
+        extra["ann_recall_at_10_clustered"] = round(chits / max(cbf_rows, 1), 3)
+        for d in (cann, cbf, cdf):
+            d.unpersist()
 
     # HLL HyperBall (the scale path that replaced exact all-pairs BFS)
     t0 = time.time()
@@ -255,7 +365,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     return times, extra
 
 
-SCALE_ITERS = 5
+SCALE_ITERS = 4
 
 
 def pagerank_throughput(spark, iterations: int = SCALE_ITERS, n: int | None = None,
@@ -263,31 +373,24 @@ def pagerank_throughput(spark, iterations: int = SCALE_ITERS, n: int | None = No
     """edges processed/sec = |E| × iterations / wall — fixed-iteration
     run for a clean scaling comparison (BASELINE.md protocol).
 
-    Input: the deterministic scale-free generator (identical graph at any
-    parallelism — the 'same input, two cluster sizes' requirement), sized
-    so per-core work dominates the fixed per-iteration cost (global-sum
-    barrier + lineage checkpoint, ~1s each on this box).
+    Input: the parquet-cached deterministic scale-free graph (identical
+    bytes at any parallelism — the 'same input, two cluster sizes'
+    requirement), sized so per-core work dominates the fixed
+    per-iteration cost (global-sum barrier + lineage checkpoint, ~1s
+    each on this box).
 
     The timed block runs ``reps`` times back-to-back (default
     $SPARK_GRAFT_SCALE_REPS = 2) and the BEST run counts — standard
-    timeit-style repetition within one measurement: co-tenant
-    interference on this shared host only ever subtracts throughput
-    (measured ad-hoc: 1.7M then 3.6M edges/s at the same core count
-    minutes apart), so the max over back-to-back reps estimates the
-    interference-free value of THIS measurement without touching the
-    cross-pair estimator."""
-    from lynxkite_spark.operators.generators import scale_free
-
-    n = n or int(os.environ.get("SPARK_GRAFT_SCALE_N", "8000000"))
+    timeit-style repetition within one measurement: rep 1 absorbs JIT /
+    codegen warm-up, and co-tenant interference on this shared host only
+    ever subtracts throughput (measured ad-hoc: 1.7M then 3.6M edges/s
+    at the same core count minutes apart), so the max over back-to-back
+    reps estimates the interference-free value of THIS measurement
+    without touching the cross-pair estimator."""
+    n = n or int(os.environ.get("SPARK_GRAFT_SCALE_N", str(DEFAULT_SCALE_N)))
     reps = reps or int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
-    g = scale_free(spark, n=n, out_degree=8, seed=42)
-    from lynxkite_spark.plans.checkpoint import materialize
-
-    g = Graph(vertices=materialize(g.vertices), edges=materialize(g.edges))
-    e = g.edges.count()
-    # JIT/codegen warm-up so the first measured parallelism level isn't
-    # penalized relative to the second (both sessions share one JVM)
-    pagerank(g, damping=0.85, iterations=1, tol=None).count()
+    g = load_probe_graph(spark, n)
+    e = g.edges.count()  # also warms the block-manager pages
     best = float("inf")
     for _ in range(max(reps, 1)):
         t0 = time.time()
@@ -296,17 +399,20 @@ def pagerank_throughput(spark, iterations: int = SCALE_ITERS, n: int | None = No
     return e * iterations / best, e
 
 
-def scaling_run() -> dict:
+def scaling_run(budget: Budget | None = None) -> dict:
     """Two-parallelism evidence for the north rule's N→4N criterion:
     the SAME job (identical input, identical 64-partition shuffle plan)
     at N=2 and 4N=8 worker cores; efficiency = (throughput₈/throughput₂)/4.
 
     Shared-host robustness (round-2 judge): a single 2/8 pair is at the
     mercy of transient host load — round 1 measured superlinear 1.1-1.3,
-    round 2 measured 0.705 on identical code.  So the run takes
+    round 2 measured 0.705 on identical code.  So the run takes up to
     SPARK_GRAFT_SCALE_TRIALS (default 3) *interleaved* N/4N pairs, with
     the in-pair order alternating (2-8, 8-2, 2-8) so monotone host drift
     cancels, and reports the median per-pair efficiency plus the spread.
+    Pairs 1-2 are the required core; pair 3 and the control kernels run
+    only if the wall budget fits them (round-5 driver-timeout contract —
+    what was skipped is recorded, never silent).
 
     Why 2→8 and not 8→32: this box is one socket — all 32 cores share
     one memory bus, and the shuffle-heavy gather join saturates memory
@@ -317,11 +423,11 @@ def scaling_run() -> dict:
     as `throughput_eps_32` for the single-node headline number."""
     import statistics
 
+    budget = budget or Budget(float("inf"))
     parts = 64
-    # 3 interleaved pairs × 2 back-to-back reps per level = 6 timed runs
-    # per level; fewer pairs than round 3's 5 but each pair is far more
-    # dip-robust, and total bench wall stays bounded
     trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+    n_probe = int(os.environ.get("SPARK_GRAFT_SCALE_N", str(DEFAULT_SCALE_N)))
+    ensure_probe_graph(n_probe)
     results: dict[int, list[float]] = {2: [], 8: []}
     n_edges = 0
 
@@ -355,26 +461,37 @@ def scaling_run() -> dict:
         share of any efficiency shortfall (VERDICT r3 item 2)."""
         spark = get_spark(cores=cores, shuffle_partitions=parts,
                           app_name=f"ctrl{cores}", extra_conf=_SCALING_CONF)
-        n = 40_000_000
+        n = 24_000_000
         a = spark.range(n).select(
             (F.col("id") % 1_000_000).alias("k"), F.col("id").alias("v"))
         b = spark.range(n // 4).select(
             (F.col("id") % 1_000_000).alias("k"),
             (F.col("id") * 3).alias("w"))
-        a.join(b, "k").groupBy("k").count().count()  # warm-up
         best = float("inf")
-        for _ in range(int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))):
+        # rep 1 doubles as the JIT warm-up (best-of discards it when cold)
+        for _ in range(int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2")) + 1):
             t0 = time.time()
             a.join(b, "k").groupBy("k").agg(F.sum("v"), F.count("w")).count()
             best = min(best, time.time() - t0)
         spark.stop()
         return n / best
 
-    for trial in range(trials):
+    pair_walls: list[float] = []
+
+    def run_pair(trial: int) -> None:
         order = (2, 8) if trial % 2 == 0 else (8, 2)
+        t0 = time.time()
         pair = {c: measure(c) for c in order}
+        pair_walls.append(time.time() - t0)
         results[2].append(pair[2])
         results[8].append(pair[8])
+
+    # Pair 1 always runs; pair 2 runs unless it clearly cannot fit (two
+    # pairs are the minimum for the committed-report guard); pair 3 and
+    # everything cheaper is budget-gated on measured-so-far estimates.
+    run_pair(0)
+    if trials >= 2 and budget.allow("scaling pair 2", pair_walls[0] * 0.9):
+        run_pair(1)
 
     # Headline estimator (ADVICE r3): the MEDIAN per-pair efficiency —
     # pairs are interleaved with alternating in-pair order so monotone
@@ -383,54 +500,110 @@ def scaling_run() -> dict:
     # best-of-N-per-level number (max over trials at each level; the
     # round-3 headline) is reported alongside as the
     # interference-floor estimate, with every raw trial committed.
-    effs = sorted((t8 / t2) / 4.0 for t2, t8 in zip(results[2], results[8]))
-    eff_median = statistics.median(effs)
-    eff_best = (max(results[8]) / max(results[2])) / 4.0
-    ctrl = {c: control_kernel(c) for c in (2, 8, 32)}
-    spark = get_spark(cores=32, shuffle_partitions=parts, app_name="bench32",
-                      extra_conf=_SCALING_CONF)
-    eps32, _ = pagerank_throughput(spark)
-    spark.stop()
-    return {
-        "edges": n_edges,
-        "iterations": SCALE_ITERS,
-        "trials": trials,
-        "shuffle_partitions": parts,
-        "throughput_eps_2": round(max(results[2])),
-        "throughput_eps_8": round(max(results[8])),
-        "throughput_eps_32": round(eps32),
-        "throughput_eps_2_all": [round(x) for x in results[2]],
-        "throughput_eps_8_all": [round(x) for x in results[8]],
-        "scaling_efficiency": round(eff_median, 3),
-        "scaling_efficiency_best_of_n": round(eff_best, 3),
-        "scaling_efficiency_all": [round(e, 3) for e in effs],
-        "scaling_efficiency_spread": [round(effs[0], 3), round(effs[-1], 3)],
-        "scaling_efficiency_8_32": round((eps32 / max(results[8])) / 4.0, 3),
-        "control_rows_per_sec_2": round(ctrl[2]),
-        "control_rows_per_sec_8": round(ctrl[8]),
-        "control_efficiency_2_8": round((ctrl[8] / ctrl[2]) / 4.0, 3),
-        "control_rows_per_sec_32": round(ctrl[32]),
-        # the 8->32 plateau is the HOST's, not the engine's: the pure
-        # Spark SQL kernel hits the same single-socket memory-bus wall
-        "control_efficiency_8_32": round((ctrl[32] / ctrl[8]) / 4.0, 3),
+    def summarize() -> dict:
+        effs = sorted((t8 / t2) / 4.0 for t2, t8 in zip(results[2], results[8]))
+        return {
+            "edges": n_edges,
+            "iterations": SCALE_ITERS,
+            "trials": len(effs),
+            "shuffle_partitions": parts,
+            "throughput_eps_2": round(max(results[2])),
+            "throughput_eps_8": round(max(results[8])),
+            "throughput_eps_2_all": [round(x) for x in results[2]],
+            "throughput_eps_8_all": [round(x) for x in results[8]],
+            "scaling_efficiency": round(statistics.median(effs), 3),
+            "scaling_efficiency_best_of_n": round(
+                (max(results[8]) / max(results[2])) / 4.0, 3),
+            "scaling_efficiency_all": [round(e, 3) for e in effs],
+            "scaling_efficiency_spread": [round(effs[0], 3), round(effs[-1], 3)],
+        }
+
+    def _snap(scaling_so_far: dict) -> None:
+        # keep the suite results in the timeout snapshot when they exist
+        if _LATEST_SNAPSHOT and _LATEST_SNAPSHOT.get("metric") == \
+                "graph_suite_wall_seconds":
+            _set_snapshot({**_LATEST_SNAPSHOT, "scaling": scaling_so_far})
+        else:
+            _set_snapshot({"metric": "pagerank_scaling", "partial": True,
+                           **scaling_so_far})
+
+    out = summarize()
+    _snap(out)
+
+    # local[32] single-node headline point
+    est32 = pair_walls[-1] * 0.25 + 30
+    if budget.allow("local[32] headline point", est32):
+        spark = get_spark(cores=32, shuffle_partitions=parts, app_name="bench32",
+                          extra_conf=_SCALING_CONF)
+        eps32, _ = pagerank_throughput(spark)
+        spark.stop()
+        out["throughput_eps_32"] = round(eps32)
+        out["scaling_efficiency_8_32"] = round((eps32 / max(results[8])) / 4.0, 3)
+
+    # control kernels: 2/8 bound the host's share of any shortfall;
+    # 32 documents the single-socket memory-bus plateau
+    ctrl: dict[int, float] = {}
+    if budget.allow("control kernels 2/8", 170):
+        ctrl[2] = control_kernel(2)
+        ctrl[8] = control_kernel(8)
+        out["control_rows_per_sec_2"] = round(ctrl[2])
+        out["control_rows_per_sec_8"] = round(ctrl[8])
         # engine efficiency normalized by what the HOST gives plain Spark
         # SQL at the same two levels — > 1.0 means the engine scales
         # better than zero-engine-code Spark on this box, i.e. any
         # shortfall vs the 0.8 target is the host's, not the engine's
-        "scaling_efficiency_vs_control": round(
-            eff_median / max((ctrl[8] / ctrl[2]) / 4.0, 1e-9), 3),
-    }
+        out["control_efficiency_2_8"] = round((ctrl[8] / ctrl[2]) / 4.0, 3)
+        out["scaling_efficiency_vs_control"] = round(
+            out["scaling_efficiency"]
+            / max(out["control_efficiency_2_8"], 1e-9), 3)
+
+    # third interleaved pair (median-of-3 > median-of-2 robustness)
+    if len(pair_walls) >= 2 and trials >= 3 and budget.allow(
+            "scaling pair 3", max(pair_walls) * 1.05):
+        run_pair(2)
+        kept = {k: out[k] for k in (
+            "throughput_eps_32", "scaling_efficiency_8_32",
+            "control_rows_per_sec_2", "control_rows_per_sec_8",
+            "control_efficiency_2_8", "scaling_efficiency_vs_control",
+        ) if k in out}
+        out = {**summarize(), **kept}
+        if "scaling_efficiency_vs_control" in out:
+            out["scaling_efficiency_vs_control"] = round(
+                out["scaling_efficiency"]
+                / max(out["control_efficiency_2_8"], 1e-9), 3)
+    _snap(out)
+
+    if 8 in ctrl and budget.allow("control kernel 32", 60):
+        ctrl[32] = control_kernel(32)
+        out["control_rows_per_sec_32"] = round(ctrl[32])
+        # the 8->32 plateau is the HOST's, not the engine's: the pure
+        # Spark SQL kernel hits the same single-socket memory-bus wall
+        out["control_efficiency_8_32"] = round((ctrl[32] / ctrl[8]) / 4.0, 3)
+    _snap(out)
+
+    return out
 
 
 def write_scaling_report(scaling: dict) -> None:
     # The committed report is official evidence: only a full-size,
     # multi-pair run may rewrite it (probe/smoke runs with a reduced
     # SPARK_GRAFT_SCALE_N or a single trial would clobber it with
-    # meaningless numbers — happened twice in round 4).
-    if scaling.get("edges", 0) < 50_000_000 or scaling.get("trials", 0) < 2:
-        print("write_scaling_report: skipped (reduced-size or single-trial "
-              "run does not overwrite committed evidence)", file=sys.stderr)
+    # meaningless numbers — happened twice in round 4). The size
+    # threshold is derived from the default probe size (ADVICE r4: a
+    # hardcoded 50M silently disagreed with the env knob it guards), and
+    # the skip is surfaced in the scaling dict itself, not just stderr.
+    min_edges = int(0.75 * DEFAULT_SCALE_N * DEFAULT_OUT_DEGREE)
+    if scaling.get("edges", 0) < min_edges or scaling.get("trials", 0) < 2:
+        reason = (
+            f"reduced-size or single-trial run (edges "
+            f"{scaling.get('edges', 0)} < {min_edges} or trials "
+            f"{scaling.get('trials', 0)} < 2) does not overwrite "
+            f"committed evidence")
+        scaling["report_written"] = False
+        scaling["report_skip_reason"] = reason
+        print(f"write_scaling_report: skipped ({reason})", file=sys.stderr)
         return
+    scaling["report_written"] = True
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
     with open(path, "w") as f:
@@ -470,15 +643,15 @@ def write_scaling_report(scaling: dict) -> None:
             f"| throughput @ local[2] per trial | {scaling['throughput_eps_2_all']} |\n"
             f"| throughput @ local[8] (edges/sec, best-of-{scaling['trials']}) | {scaling['throughput_eps_8']} |\n"
             f"| throughput @ local[8] per trial | {scaling['throughput_eps_8_all']} |\n"
-            f"| throughput @ local[32] (edges/sec) | {scaling['throughput_eps_32']} |\n"
+            f"| throughput @ local[32] (edges/sec) | {scaling.get('throughput_eps_32', 'n/a (budget-skipped)')} |\n"
             f"| scaling efficiency 2→8, median per pair — HEADLINE (target ≥ 0.8) | {scaling['scaling_efficiency']} |\n"
             f"| scaling efficiency 2→8, best-of-N per level | {scaling['scaling_efficiency_best_of_n']} |\n"
             f"| scaling efficiency per pair (sorted) | {scaling['scaling_efficiency_all']} |\n"
-            f"| scaling efficiency 8→32 (memory-bus bound, see below) | {scaling['scaling_efficiency_8_32']} |\n"
-            f"| control kernel efficiency 8→32 (same wall, zero engine code) | {scaling.get('control_efficiency_8_32', 'n/a')} |\n"
-            f"| control kernel (pure Spark SQL) rows/s @2 / @8 | {scaling['control_rows_per_sec_2']} / {scaling['control_rows_per_sec_8']} |\n"
-            f"| control kernel efficiency 2→8 | {scaling['control_efficiency_2_8']} |\n"
-            f"| engine ÷ control efficiency (>1 = engine out-scales plain Spark SQL) | {scaling['scaling_efficiency_vs_control']} |\n\n"
+            f"| scaling efficiency 8→32 (memory-bus bound, see below) | {scaling.get('scaling_efficiency_8_32', 'n/a (budget-skipped)')} |\n"
+            f"| control kernel efficiency 8→32 (same wall, zero engine code) | {scaling.get('control_efficiency_8_32', 'n/a (budget-skipped)')} |\n"
+            f"| control kernel (pure Spark SQL) rows/s @2 / @8 | {scaling.get('control_rows_per_sec_2', 'n/a')} / {scaling.get('control_rows_per_sec_8', 'n/a')} |\n"
+            f"| control kernel efficiency 2→8 | {scaling.get('control_efficiency_2_8', 'n/a (budget-skipped)')} |\n"
+            f"| engine ÷ control efficiency (>1 = engine out-scales plain Spark SQL) | {scaling.get('scaling_efficiency_vs_control', 'n/a (budget-skipped)')} |\n\n"
             "Efficiency = (throughput_4N / throughput_N) / 4. The 2→8 pair is\n"
             "the N→4N evidence: past ~8 threads this single-socket box is\n"
             "memory-bandwidth bound — a pure Spark SQL join+agg kernel with no\n"
@@ -494,18 +667,33 @@ def write_scaling_report(scaling: dict) -> None:
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--budget-seconds", type=float,
+        default=float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1650")),
+        help="wall budget for the whole run; low-value stages are "
+             "skipped (and recorded under 'skipped') to stay inside it")
+    args = ap.parse_args()
+    budget = Budget(args.budget_seconds)
+    signal.signal(signal.SIGTERM, _sigterm_handler)
+
     out: dict = {"sf": SF_DIR, "unit": "sec"}
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         # scaling-only fast path
-        scaling = scaling_run()
+        scaling = scaling_run(budget)
         write_scaling_report(scaling)
-        print(json.dumps({"metric": "pagerank_scaling", **scaling}))
+        print(json.dumps({
+            "metric": "pagerank_scaling", **scaling,
+            "budget_seconds": budget.total, "skipped": budget.skipped,
+        }), flush=True)
         return
 
     spark = get_spark(cores=CPUS, shuffle_partitions=CPUS, app_name="bench")
     t0 = time.time()
-    times, extra = run_suite(spark, SF_DIR)
+    times, extra = run_suite(spark, SF_DIR, budget)
     total = round(time.time() - t0, 3)
     spark.stop()
     out.update({
@@ -514,10 +702,17 @@ def main():
         "queries": times,
         **extra,
     })
+    # Snapshot the suite-only result: if the scaling phase is killed by
+    # an external timeout, the SIGTERM handler prints this (round 4's
+    # official artifact was rc=124 with NOTHING parseable).
+    _set_snapshot({**out, "partial": True})
     if os.environ.get("SPARK_GRAFT_SCALING") != "0":
-        out["scaling"] = scaling_run()
+        out["scaling"] = scaling_run(budget)
         write_scaling_report(out["scaling"])
-    print(json.dumps(out))
+    out["budget_seconds"] = budget.total
+    out["wall_seconds"] = round(budget.elapsed(), 3)
+    out["skipped"] = budget.skipped
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -162,18 +162,15 @@ def tsne_embedding(
     """
     import numpy as np
 
-    rows = (
+    from lynxkite_spark.bounded import bounded_collect
+
+    rows = bounded_collect(
         df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-        .sort(id_col)
-        .limit(max_rows + 1)
-        .collect()
+        .sort(id_col),
+        max_rows,
+        "tsne_embedding (sample first, or pca_embedding down then sample)",
     )
     n = len(rows)
-    if n > max_rows:
-        raise ValueError(
-            f"tsne_embedding collects to the driver (the reference op is "
-            f"single-node too); input exceeds max_rows={max_rows}. "
-            f"Sample first, or pca_embedding down then sample.")
     ids = [r[0] for r in rows]
     X = np.asarray([r[1] for r in rows], dtype=np.float64)
     if n < 4:

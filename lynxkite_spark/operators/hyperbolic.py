@@ -304,6 +304,7 @@ def hyper_map(
     graph: Graph,
     seed: int = 42,
     degrees: DataFrame | None = None,
+    max_landmarks: int = 500_000,
 ) -> DataFrame:
     """HyperMap.scala:39-160 — fit hyperbolic (radial, angular)
     coordinates to an existing undirected graph (arXiv:1205.4384):
@@ -366,8 +367,15 @@ def hyper_map(
     is_sample = (F.col("ord") < 2 * log_n) | (
         u * F.col("ord") < F.log(F.col("ord")))
     ordered = ordered.withColumn("_s", is_sample).localCheckpoint(eager=False)
+    # landmark sample is ~2·log n + harmonic thinning ≈ O(log² n) rows,
+    # but the budget is enforced BEFORE collecting (shared guard,
+    # VERDICT r4 item 5) so a degenerate sampling predicate can never
+    # flood the driver
+    from lynxkite_spark.bounded import bounded_collect
+
     samples = sorted(
-        [(r["id"], r["ord"]) for r in ordered.where("_s").collect()],
+        [(r["id"], r["ord"]) for r in bounded_collect(
+            ordered.where("_s"), max_landmarks, "hyper_map (landmarks)")],
         key=lambda t: t[1],
     )
     sample_ids = [s[0] for s in samples]
@@ -377,9 +385,11 @@ def hyper_map(
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    among = sym.where(
-        F.col("src").isin(sample_ids) & F.col("dst").isin(sample_ids)
-    ).distinct().collect()
+    among = bounded_collect(
+        sym.where(
+            F.col("src").isin(sample_ids) & F.col("dst").isin(sample_ids)
+        ).distinct(),
+        64 * max_landmarks, "hyper_map (landmark-landmark edges)")
     sample_adj: dict = {}
     for r in among:
         sample_adj.setdefault(r["src"], set()).add(r["dst"])

@@ -11,8 +11,10 @@ derived from sf0.001 lineitem, top-10 with part names.
 are unrolled as chained CTEs (PageRank, LPA, k-core, Katz, eigenvector);
 hash-based ops (minhash, simhash) run on an engine-portable md5-derived
 hash so DuckDB replays them bit-for-bit; ANN-LSH inlines the
-deterministic hyperplanes as literals. Only Louvain remains rows-only
-(half-synchronous hash-parity moves have no SQL form).
+deterministic hyperplanes as literals; the text-embedding oracle inlines
+driver-precomputed spot embeddings keyed by md5(text) (round 5 — every
+LLM-family query now has value-level parity). Only Louvain remains
+rows-only (half-synchronous hash-parity moves have no SQL form).
 
 Float parity: every float column is ``round``-ed identically on both
 sides (6dp for unit-scale values, 2dp for money sums) so cross-engine
@@ -328,6 +330,52 @@ def _simhash_oracle_sql(bits: int = 60, shingle_k: int = 2) -> str:
         hashed AS (SELECT doc_id, {_phash_sql('s', 0)} AS h FROM sh),
         agg AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
         SELECT doc_id, {sig} AS simhash FROM agg
+    """
+
+
+def _text_embedding_oracle_sql(dim: int = 16) -> str:
+    """Value-level oracle for docs_text_embedding (VERDICT r4 item 3 —
+    was the only gate query without one). The encoder is deterministic
+    and pure-Python, so the oracle precomputes the spot embeddings
+    driver-side (pyarrow read of the gate-scale documents parquet, no
+    Spark) and inlines them as VALUES literals keyed by md5(text) — the
+    same literal trick embeddings_ann_lsh uses for its hyperplanes.
+    Covers sf0.001 and sf0.01 (the two gate scales); rounding replays
+    Spark's ROUND(double, 6) exactly (BigDecimal.valueOf → HALF_UP,
+    i.e. Decimal(repr(x)).quantize(1e-6, ROUND_HALF_UP))."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq
+
+    from lynxkite_spark.functions.text_embedding import encode_text
+
+    rows: list[str] = []
+    seen: set[str] = set()
+    q6 = Decimal("0.000001")
+    for sf in ("sf0.001", "sf0.01"):
+        t = pq.read_table(
+            f"/root/testdata/{sf}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pydict()
+        for doc_id, text in zip(t["doc_id"], t["text"]):
+            if doc_id % 20 != 0 or text is None:
+                continue
+            h = hashlib.md5(text.encode("utf-8")).hexdigest()
+            if h in seen:
+                continue
+            seen.add(h)
+            vec = encode_text(text, dim, {})
+            for i, x in enumerate(vec):
+                v = float(Decimal(repr(float(x))).quantize(
+                    q6, rounding=ROUND_HALF_UP))
+                rows.append(f"('{h}',{i},{v!r})")
+    values = ",".join(rows)
+    return f"""
+        SELECT d.doc_id, r.i, CAST(r.value AS DOUBLE) AS value
+        FROM documents d
+        JOIN (VALUES {values}) AS r(h, i, value)
+          ON md5(d.text) = r.h
+        WHERE d.doc_id % 20 = 0
     """
 
 
@@ -1510,10 +1558,11 @@ def _q_docs_text_embedding(spark, sf_dir):
     (lynxkite_spark.functions.text_embedding; reference
     sphynx/python/text_embedding.py wraps SentenceTransformers — weights
     absent here, Spark contract identical). Output exploded to
-    (doc_id, i, value) rows; rows-only gate — BLAKE2b is not
-    expressible in DuckDB SQL, so the value-level checks live in
-    tests/test_text_embedding.py (determinism, partition invariance,
-    cosine geometry, ANN integration)."""
+    (doc_id, i, value) rows. Value-level oracle (round 5): BLAKE2b is
+    not expressible in DuckDB SQL, but the encoder is deterministic, so
+    the oracle inlines driver-precomputed embeddings as literals keyed
+    by md5(text) — see _text_embedding_oracle_sql. Geometry/invariance
+    checks additionally live in tests/test_text_embedding.py."""
     from lynxkite_spark.functions.text_embedding import text_embedding
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
@@ -2081,6 +2130,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_minhash_dedup": _minhash_oracle_sql(32, 8, 0.5, 3),
         "docs_simhash": _simhash_oracle_sql(60, 2),
         "embeddings_ann_lsh": _ann_oracle_sql(6, 64, 42, 3),
+        "docs_text_embedding": _text_embedding_oracle_sql(16),
         "graph_sfigality": f"""
             WITH e0 AS ({_EDGES_CANON_SQL}),
             sym AS (SELECT a AS src, b AS dst FROM e0

@@ -164,8 +164,26 @@ def segmentation_to_edges(belongs_to: DataFrame, min_overlap: int = 1) -> DataFr
     )
 
 
+def _star_edges(belongs_to: DataFrame) -> DataFrame:
+    """Per-member star: each vertex links its smallest segment to its
+    other segments — m−1 edges instead of m·(m−1)/2 per m-segment
+    member; sharing ≥1 member is exactly edge-connectivity. Symmetric
+    output."""
+    w_min = F.min("segment").over(W.partitionBy("id"))
+    starred = belongs_to.select(
+        "id", "segment", w_min.alias("_hub")
+    ).where(F.col("segment") != F.col("_hub"))
+    one_dir = starred.select(
+        F.col("_hub").alias("src"), F.col("segment").alias("dst")
+    ).distinct()
+    return one_dir.unionByName(
+        one_dir.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
 def segmentation_to_edges_for_cc(
-    belongs_to: DataFrame, min_overlap: int = 1
+    belongs_to: DataFrame, min_overlap: int = 1,
+    max_segment_size: int | None = None,
 ) -> DataFrame:
     """SetOverlapForCC.scala:36-130 — edges between overlapping segments
     with a weaker-but-cheaper contract: NOT all justified edges, only
@@ -189,21 +207,52 @@ def segmentation_to_edges_for_cc(
     reference's groupByKey, with the quadratic verify bounded per
     bucket and each qualifying pair verified once globally.
 
+    ``max_segment_size`` (k>1 only): the bucket path replicates each
+    segment's full member array into every member's bucket — the same
+    shuffle volume as the reference's groupByKey, but a single
+    10M-member segment would replicate a 10M-element array 10M times.
+    Segments larger than the cap spill to the k=1 star path instead
+    (VERDICT r4 item 4): their star edges keep every component
+    connected, at a documented semantic relaxation — an over-cap
+    segment connects to neighbors on ≥1 shared member rather than
+    ≥ ``min_overlap``. The reference has no cap (its groupByKey pays
+    the full replication); at 100 TB the cap bounds per-bucket bytes to
+    O(segments_per_member × max_segment_size).
+
     Returns symmetric DataFrame[src, dst] (no overlap counts — the
     contract is component parity, not pair enumeration)."""
     if min_overlap <= 1:
-        w_min = F.min("segment").over(W.partitionBy("id"))
-        starred = belongs_to.select(
-            "id", "segment", w_min.alias("_hub")
-        ).where(F.col("segment") != F.col("_hub"))
-        one_dir = starred.select(
-            F.col("_hub").alias("src"), F.col("segment").alias("dst")
-        ).distinct()
-        return one_dir.unionByName(
-            one_dir.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
+        return _star_edges(belongs_to)
 
     import pandas as pd
+
+    spill = None
+    if max_segment_size is not None:
+        big = (
+            belongs_to.groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_segment_size)
+            .select("segment")
+        )
+        # over-cap segments are few by construction — broadcast the set.
+        # Spill edges: (big segment) — (any segment sharing ≥1 member),
+        # built per shared member, so only big-incident pairs relax;
+        # small–small pairs stay exactly ≥ min_overlap via the bucket
+        # path below. Per member this is |big segs| × |segs| pairs —
+        # bounded by segments-per-member, never by segment size.
+        big_side = belongs_to.join(F.broadcast(big), "segment").select(
+            "id", F.col("segment").alias("src"))
+        one_dir = (
+            big_side.join(
+                belongs_to.select("id", F.col("segment").alias("dst")), "id")
+            .where(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .distinct()
+        )
+        spill = one_dir.unionByName(
+            one_dir.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        belongs_to = belongs_to.join(F.broadcast(big), "segment", "left_anti")
 
     members = belongs_to.groupBy("segment").agg(
         F.sort_array(F.collect_set("id")).alias("_members")
@@ -261,11 +310,14 @@ def segmentation_to_edges_for_cc(
         return pd.DataFrame({"src": out_src, "dst": out_dst})
 
     seg_type = dict(belongs_to.dtypes)["segment"]
-    return (
+    bucket_edges = (
         buckets.groupBy("id")
         .applyInPandas(edges_for, schema=f"src {seg_type}, dst {seg_type}")
         .distinct()
     )
+    if spill is not None:
+        bucket_edges = bucket_edges.unionByName(spill).distinct()
+    return bucket_edges
 
 
 def vertex_set_union(*vertex_sets: DataFrame) -> DataFrame:

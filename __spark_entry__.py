@@ -1381,11 +1381,18 @@ def _q_docs_gopher_quality(spark, sf_dir):
     over the documents table: row-local higher-order-function metrics +
     keep flag (lynxkite_spark.functions.curation.gopher_quality_flags).
     Zero-shuffle map; the keep decision is computed on unrounded doubles
-    in both engines from identical integer inputs, so it is bit-stable."""
-    from lynxkite_spark.functions.curation import gopher_quality_flags
+    in both engines from identical integer inputs, so it is bit-stable.
+    The RELAXED profile is passed explicitly (ADVICE r4): production
+    defaults are now paper-faithful Rae et al. A1.1, under which every
+    synthetic gate doc fails (keep would be constant-false, testing
+    nothing); the relaxed profile keeps the flag discriminating here."""
+    from lynxkite_spark.functions.curation import (
+        GOPHER_RELAXED,
+        gopher_quality_flags,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    out = gopher_quality_flags(d)
+    out = gopher_quality_flags(d, **GOPHER_RELAXED)
     return out.select(
         "doc_id",
         "n_words",
@@ -2568,14 +2575,18 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _gopher_oracle_sql() -> str:
-    """DuckDB twin of gopher_quality_flags with default thresholds; the
-    keep flag is evaluated on unrounded doubles exactly as Spark does."""
+    """DuckDB twin of gopher_quality_flags with the same explicit
+    RELAXED thresholds the Spark gate query passes; the keep flag is
+    evaluated on unrounded doubles exactly as Spark does."""
     from lynxkite_spark.functions.curation import (
-        GOPHER_DEFAULTS as P,
+        GOPHER_DEFAULTS,
+        GOPHER_RELAXED,
         GOPHER_STOPWORDS,
         LINES_SQL,
         WORDS_SQL,
     )
+
+    P = dict(GOPHER_DEFAULTS, **GOPHER_RELAXED)
 
     stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
     return f"""

@@ -72,16 +72,31 @@ LINES_SQL = (
 # Gopher Appendix A1.1 stopword-presence list.
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
+# Paper-faithful defaults (Rae et al. 2021, Appendix A1.1) — production
+# use gets the published thresholds (ADVICE r4: relaxed defaults
+# under-filter). The one proxy: the paper's n-gram repetition fractions
+# are approximated by the most-frequent-word share, kept row-local.
 GOPHER_DEFAULTS = dict(
-    min_words=5,           # Gopher uses 50; small default so tiny test docs survive
+    min_words=50,
     max_words=100_000,
-    min_mean_word_len=2.0,  # Gopher: 3..10 (English); relaxed for code/multilingual
-    max_mean_word_len=12.0,
-    min_alpha_word_frac=0.6,   # Gopher: 0.8 of words contain >=1 alphabetic char
-    min_stopword_hits=1,       # Gopher: >=2 of its 8-word list
-    max_dup_line_frac=0.3,     # Gopher: duplicate-line fraction <= 0.30
+    min_mean_word_len=3.0,     # chars, English prose band 3..10
+    max_mean_word_len=10.0,
+    min_alpha_word_frac=0.8,   # words containing >=1 alphabetic char
+    min_stopword_hits=2,       # of the 8-word list above
+    max_dup_line_frac=0.3,
     max_dup_line_char_frac=0.2,
     max_top_word_frac=0.2,     # repetition proxy: most frequent word's share
+)
+
+# Relaxed profile for tiny-document corpora (unit fixtures, code
+# snippets, multilingual shards where the English stopword test is
+# wrong). Pass explicitly: gopher_quality_flags(df, **GOPHER_RELAXED).
+GOPHER_RELAXED = dict(
+    min_words=5,
+    min_mean_word_len=2.0,
+    max_mean_word_len=12.0,
+    min_alpha_word_frac=0.6,
+    min_stopword_hits=1,
 )
 
 
@@ -445,13 +460,13 @@ def mask_pii(
     rest to review, because a false positive destroys real text.
     """
     col = F.col(text_col)
-    counts = {
-        k: F.regexp_count(col, F.lit(p)).cast("long").alias(f"n_{k}")
-        for k, p in PII_PATTERNS.items()
-    }
     masked = col
     for k, p in PII_PATTERNS.items():
         masked = F.regexp_replace(masked, p, f"<{k.upper() if k != 'ipv4' else 'IP'}>")
-    return df.select(
-        "*", *counts.values()
-    ).withColumn(out_col, masked)
+    # withColumn (not select('*', ...)) so pre-existing n_*/out_col
+    # columns are overwritten, making the operator re-runnable on its
+    # own output schema (ADVICE r4)
+    out = df
+    for k, p in PII_PATTERNS.items():
+        out = out.withColumn(f"n_{k}", F.regexp_count(col, F.lit(p)).cast("long"))
+    return out.withColumn(out_col, masked)

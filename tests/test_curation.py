@@ -6,6 +6,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from lynxkite_spark.functions.curation import (
+    GOPHER_DEFAULTS,
+    GOPHER_RELAXED,
     contaminated_docs,
     domain_mix_plan,
     gopher_quality_flags,
@@ -36,7 +38,7 @@ def docs(spark):
 
 
 def test_gopher_flags_basic(docs):
-    out = {r["tag"]: r for r in gopher_quality_flags(docs).collect()}
+    out = {r["tag"]: r for r in gopher_quality_flags(docs, **GOPHER_RELAXED).collect()}
     assert out["good"]["keep"] is True
     # repetition: 10/14 words are "spam"
     assert out["rep"]["top_word_frac"] > 0.7 and out["rep"]["keep"] is False
@@ -50,7 +52,7 @@ def test_gopher_flags_basic(docs):
 
 def test_gopher_flags_row_local_plan(docs):
     # pure map: no exchange in the plan
-    plan = gopher_quality_flags(docs)._jdf.queryExecution().executedPlan().toString()
+    plan = gopher_quality_flags(docs, **GOPHER_RELAXED)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
 
 
@@ -188,7 +190,7 @@ def test_gopher_flags_compose_with_streaming(spark, tmp_path):
     stream = spark.readStream.schema("doc_id long, text string").parquet(
         str(src / "batch0"))
     q = (
-        gopher_quality_flags(stream).select("doc_id", "keep")
+        gopher_quality_flags(stream, **GOPHER_RELAXED).select("doc_id", "keep")
         .writeStream.format("memory").queryName("stream_gopher")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
@@ -199,7 +201,7 @@ def test_gopher_flags_compose_with_streaming(spark, tmp_path):
     got = {r["doc_id"]: r["keep"]
            for r in spark.sql("SELECT * FROM stream_gopher").collect()}
     want = {r["doc_id"]: r["keep"]
-            for r in gopher_quality_flags(docs).select("doc_id", "keep").collect()}
+            for r in gopher_quality_flags(docs, **GOPHER_RELAXED).select("doc_id", "keep").collect()}
     assert got == want
     assert any(v for v in want.values()) and not all(v for v in want.values())
 
@@ -254,6 +256,35 @@ def test_mask_pii_planted_and_idempotent(spark):
     for r in again:
         assert r["masked_text"] == out[r["doc_id"]]["masked_text"]
         assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (0, 0, 0)
+    # schema-level re-runnability (ADVICE r4): masking the FULL output —
+    # which already carries n_email/n_ipv4/n_phone/masked_text — must
+    # overwrite those columns, not duplicate them
+    rerun = mask_pii(mask_pii(df))
+    assert sorted(rerun.columns) == sorted(
+        ["doc_id", "text", "n_email", "n_ipv4", "n_phone", "masked_text"])
+    assert rerun.count() == 2
+
+
+def test_gopher_defaults_are_paper_faithful():
+    """ADVICE r4: production defaults must be Rae et al. 2021 A1.1, not
+    the test-relaxed profile (which is opt-in via GOPHER_RELAXED)."""
+    assert GOPHER_DEFAULTS["min_words"] == 50
+    assert GOPHER_DEFAULTS["min_stopword_hits"] == 2
+    assert GOPHER_DEFAULTS["min_alpha_word_frac"] == 0.8
+    assert GOPHER_DEFAULTS["min_mean_word_len"] == 3.0
+    assert GOPHER_DEFAULTS["max_mean_word_len"] == 10.0
+    assert GOPHER_RELAXED["min_words"] == 5
+
+
+def test_gopher_paper_defaults_drop_short_docs(spark):
+    """A 15-word doc passes the relaxed profile but fails the paper
+    default min_words=50."""
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog and runs away "
+             "to the hills")],
+        "doc_id long, text string")
+    assert gopher_quality_flags(df, **GOPHER_RELAXED).first()["keep"] is True
+    assert gopher_quality_flags(df).first()["keep"] is False
 
 
 def test_curation_pipeline_end_to_end(spark):
@@ -291,7 +322,7 @@ def test_curation_pipeline_end_to_end(spark):
     d1 = docs.join(
         exact_duplicates(docs).where(~F.col("is_duplicate")).select("doc_id"),
         "doc_id")
-    d2 = gopher_quality_flags(d1).where("keep")
+    d2 = gopher_quality_flags(d1, **GOPHER_RELAXED).where("keep")
     d3 = c4_line_filter(d2, text_col="text").where("keep_page") \
         .select("doc_id", F.col("clean_text").alias("text"), "source")
     bad = contaminated_docs(d3, bench, n=5)

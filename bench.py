@@ -17,12 +17,25 @@ by the driver's timeout mid-shuffle, leaving nothing parseable):
   low-value tail (third scaling pair, control kernels, clustered-ANN
   corpus) is skipped — loudly, into a ``skipped`` list — when the
   remaining wall cannot fit the next stage's measured-so-far estimate;
+* the SCALING PHASE RUNS FIRST: its two core 2/8 pairs are the one
+  north-rule criterion with no official artifact yet, so on a slow host
+  they must not lose the budget race to suite extras (the first full
+  round-5 run did exactly that — suite 404 s, then pair 1 alone 1200 s,
+  pair 2 skipped, single-trial efficiency unusable). Scaling extras
+  (pair 3, local[32] point, control kernels) are gated against the
+  remaining budget MINUS a suite reserve so the suite still runs;
+* per-level measurement is warmup (count + 1 PageRank iteration) + ONE
+  timed rep — round 4's best-of-2 full reps doubled the dominant
+  local[2] leg for a second-order noise reduction the cross-pair median
+  already provides;
 * the scaling probe graph is generated ONCE, written to
   ``.bench_cache/`` as parquet, and every measurement session reads it
   back (round 4 regenerated the 64M-edge graph inside each of the 6+
   sessions — the single biggest avoidable cost);
 * a SIGTERM handler prints the latest complete JSON snapshot before
-  dying, so even a hard external timeout leaves a parseable artifact.
+  dying, so even a hard external timeout leaves a parseable artifact —
+  the snapshot is refreshed after every scaling pair and every suite
+  query.
 """
 
 from __future__ import annotations
@@ -58,6 +71,12 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 DEFAULT_SCALE_N = 8_000_000
 DEFAULT_OUT_DEGREE = 8
 
+# Wall held back from the scaling EXTRAS (pair 3, local[32], controls)
+# so the suite that runs after the scaling phase still fits. Sized from
+# the measured suite-core wall on a slow host (~215 s) plus the ANN
+# default block on low-signal data (~120 s) plus session startup.
+SUITE_RESERVE = 420.0
+
 
 class Budget:
     """Wall-clock budget for one bench run. Stages ask ``allow(stage,
@@ -76,13 +95,18 @@ class Budget:
     def remaining(self) -> float:
         return self.total - self.elapsed()
 
-    def allow(self, stage: str, est_seconds: float) -> bool:
-        if self.remaining() >= est_seconds:
+    def allow(self, stage: str, est_seconds: float,
+              reserve: float = 0.0) -> bool:
+        """``reserve`` holds back budget for later phases: an optional
+        stage runs only if est + reserve still fit (the scaling extras
+        reserve the suite's core wall this way)."""
+        if self.remaining() >= est_seconds + reserve:
             return True
-        self.skipped.append(
-            f"{stage} (est {int(est_seconds)}s > remaining "
-            f"{max(0, int(self.remaining()))}s)"
-        )
+        msg = f"{stage} (est {int(est_seconds)}s"
+        if reserve:
+            msg += f" + reserve {int(reserve)}s"
+        msg += f" > remaining {max(0, int(self.remaining()))}s)"
+        self.skipped.append(msg)
         print(f"bench budget: skipping {stage}", file=sys.stderr)
         return False
 
@@ -159,10 +183,23 @@ def coorder_graph(spark, sf_dir: str, symmetric: bool) -> Graph:
     return Graph(vertices=parts, edges=edges)
 
 
-def run_suite(spark, sf_dir: str, budget: Budget | None = None) -> tuple[dict, dict]:
+def run_suite(spark, sf_dir: str, budget: Budget | None = None,
+              snap_base: dict | None = None) -> tuple[dict, dict]:
     times: dict[str, float] = {}
     extra: dict = {}
     budget = budget or Budget(float("inf"))
+    snap_base = snap_base or {}
+
+    def snap() -> None:
+        # refresh the SIGTERM snapshot after each suite section so an
+        # external timeout mid-suite still reports every finished query
+        # (and the already-complete scaling phase via snap_base)
+        _set_snapshot({
+            **{k: v for k, v in snap_base.items() if v is not None},
+            "metric": "graph_suite_wall_seconds",
+            "value": round(sum(times.values()), 3),
+            "queries": dict(times), **extra, "partial": True,
+        })
 
     g_sym = coorder_graph(spark, sf_dir, symmetric=True)
     g_canon = coorder_graph(spark, sf_dir, symmetric=False)
@@ -189,6 +226,7 @@ def run_suite(spark, sf_dir: str, budget: Budget | None = None) -> tuple[dict, d
     t0 = time.time()
     label_propagation(g_canon, max_iterations=10).count()
     times["q_label_propagation"] = round(time.time() - t0, 3)
+    snap()
 
     # derived-corpus pagerank (the north-rule input shape)
     from lynxkite_spark.corpus import synth_corpus
@@ -211,6 +249,7 @@ def run_suite(spark, sf_dir: str, budget: Budget | None = None) -> tuple[dict, d
     edges_b, _ = derive_repo_edges(corpus, extractor="builtin")
     edges_b.count()
     times["q_corpus_derive_builtin"] = round(time.time() - t0, 3)
+    snap()
 
     # LLM-pipeline suites (VERDICT r1 item 10: bench breadth)
     from lynxkite_spark.functions.dedup import (
@@ -241,6 +280,7 @@ def run_suite(spark, sf_dir: str, budget: Budget | None = None) -> tuple[dict, d
     t0 = time.time()
     simhash(docs).count()
     times["q_docs_simhash"] = round(time.time() - t0, 3)
+    snap()
 
     # round-4 curation family (production hash paths, not the oracle ones)
     from lynxkite_spark.functions.curation import (
@@ -267,56 +307,65 @@ def run_suite(spark, sf_dir: str, budget: Budget | None = None) -> tuple[dict, d
         max_tokens=2048, token_col="n_tokens", num_groups=64,
     ).select("pack_group", "chunk").distinct().count()
     times["q_docs_pack_sequences"] = round(time.time() - t0, 3)
+    snap()
 
+    # The ANN block on this near-structure-free corpus intrinsically
+    # scans a large candidate fraction (see comment below) — on a slow
+    # host it can cost ~2 min; gate the whole block so the cheap tail
+    # probes (hyperball / kcore / betweenness) still run after it.
+    run_ann = budget.allow("ann default block", 130)
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = embs.where(F.col("vec_id") < 100)
-    t0 = time.time()
-    bf = brute_force_topk(embs, q, k=10).select("query_id", "neighbor_id")
-    bf = bf.persist()
-    bf_rows = bf.count()
-    times["q_emb_bruteforce_topk"] = round(time.time() - t0, 3)
+    if run_ann:
+        t0 = time.time()
+        bf = brute_force_topk(embs, q, k=10).select("query_id", "neighbor_id")
+        bf = bf.persist()
+        bf_rows = bf.count()
+        times["q_emb_bruteforce_topk"] = round(time.time() - t0, 3)
 
     # recall@10 vs exact ground truth — a quality gate, not just cost.
     # Each profile's timer covers ONLY candidate generation + top-k (the
     # recall join is timed separately, ADVICE r3), and every recall key
     # is suffixed with the profile it measures.
-    def ann_pass(key, **kw):
-        t0 = time.time()
-        a = ann_lsh_topk(embs, q, k=10, **kw).select(
-            "query_id", "neighbor_id").persist()
-        a.count()
-        times[f"q_emb_ann_{key}"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        hits = a.join(bf, ["query_id", "neighbor_id"]).count()
-        times[f"q_emb_ann_{key}_recall_join"] = round(time.time() - t0, 3)
-        extra[f"ann_recall_at_10_{key}"] = round(hits / max(bf_rows, 1), 3)
-        a.unpersist()
+    if run_ann:
+        def ann_pass(key, **kw):
+            t0 = time.time()
+            a = ann_lsh_topk(embs, q, k=10, **kw).select(
+                "query_id", "neighbor_id").persist()
+            a.count()
+            times[f"q_emb_ann_{key}"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            hits = a.join(bf, ["query_id", "neighbor_id"]).count()
+            times[f"q_emb_ann_{key}_recall_join"] = round(time.time() - t0, 3)
+            extra[f"ann_recall_at_10_{key}"] = round(hits / max(bf_rows, 1), 3)
+            a.unpersist()
+            snap()
 
-    # "default" = the auto profile users get with no arguments: it
-    # measures the corpus's neighbor signal on a sample and picks the
-    # cheapest geometry expected to reach recall ~0.9 (this parquet
-    # corpus is near-structure-free — rank-10 cosine ~0.32 vs random
-    # ~0.30 — so auto lands near the high-recall end and pays the
-    # intrinsic candidate-fraction cost of low-signal data).  The
-    # geometry measurement is timed on its own key so the q_emb_ann_*
-    # timers stay profile-comparable (candidate gen + top-k only);
-    # in a real pipeline this cost is paid once per corpus (memoized).
-    t0 = time.time()
-    auto_r, auto_b = auto_band_geometry(embs, q, k=10)
-    times["q_emb_ann_auto_geometry"] = round(time.time() - t0, 3)
-    extra["ann_auto_geometry_default"] = [auto_r, auto_b]
-    ann_pass("default", n_planes=auto_r, bands=auto_b)
-    if budget.allow("ann high_recall pass", 40):
-        ann_pass("high_recall", profile="high_recall")
-    bf.unpersist()
-    extra["ann_recall_at_10"] = extra["ann_recall_at_10_default"]
+        # "default" = the auto profile users get with no arguments: it
+        # measures the corpus's neighbor signal on a sample and picks the
+        # cheapest geometry expected to reach recall ~0.9 (this parquet
+        # corpus is near-structure-free — rank-10 cosine ~0.32 vs random
+        # ~0.30 — so auto lands near the high-recall end and pays the
+        # intrinsic candidate-fraction cost of low-signal data).  The
+        # geometry measurement is timed on its own key so the q_emb_ann_*
+        # timers stay profile-comparable (candidate gen + top-k only);
+        # in a real pipeline this cost is paid once per corpus (memoized).
+        t0 = time.time()
+        auto_r, auto_b = auto_band_geometry(embs, q, k=10)
+        times["q_emb_ann_auto_geometry"] = round(time.time() - t0, 3)
+        extra["ann_auto_geometry_default"] = [auto_r, auto_b]
+        ann_pass("default", n_planes=auto_r, bands=auto_b)
+        if budget.allow("ann high_recall pass", 70):
+            ann_pass("high_recall", profile="high_recall")
+        bf.unpersist()
+        extra["ann_recall_at_10"] = extra["ann_recall_at_10_default"]
 
     # clustered synthetic corpus: the realistic case, WITH neighbor
     # structure (VERDICT r3 item 4) — the auto default must both pick a
     # cheap geometry and measure high recall here.
     import numpy as np
 
-    run_clustered = budget.allow("clustered-ANN corpus", 150)
+    run_clustered = run_ann and budget.allow("clustered-ANN corpus", 110)
     if run_clustered:
         rng = np.random.default_rng(7)
         centers = rng.normal(size=(200, 64))
@@ -344,24 +393,29 @@ def run_suite(spark, sf_dir: str, budget: Budget | None = None) -> tuple[dict, d
         extra["ann_recall_at_10_clustered"] = round(chits / max(cbf_rows, 1), 3)
         for d in (cann, cbf, cdf):
             d.unpersist()
+        snap()
 
     # HLL HyperBall (the scale path that replaced exact all-pairs BFS)
-    t0 = time.time()
-    hyperball(g_canon, max_distance=4, log2m=6).count()
-    times["q_hyperball_4hops"] = round(time.time() - t0, 3)
+    if budget.allow("hyperball probe", 45):
+        t0 = time.time()
+        hyperball(g_canon, max_distance=4, log2m=6).count()
+        times["q_hyperball_4hops"] = round(time.time() - t0, 3)
+        snap()
 
     from lynxkite_spark.operators.betweenness import betweenness_centrality
     from lynxkite_spark.operators.kcore import core_decomposition
 
     # fixed 8 rounds: a throughput probe (per-round cost), not a
     # convergence run — keeps the suite wall bounded on noisy hosts
-    t0 = time.time()
-    core_decomposition(g_canon, max_iterations=8).count()
-    times["q_kcore_8rounds"] = round(time.time() - t0, 3)
+    if budget.allow("kcore+betweenness probes", 45):
+        t0 = time.time()
+        core_decomposition(g_canon, max_iterations=8).count()
+        times["q_kcore_8rounds"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    betweenness_centrality(g_canon, k=8, max_depth=4).count()
-    times["q_betweenness_8roots"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        betweenness_centrality(g_canon, k=8, max_depth=4).count()
+        times["q_betweenness_8roots"] = round(time.time() - t0, 3)
+        snap()
     return times, extra
 
 
@@ -379,18 +433,21 @@ def pagerank_throughput(spark, iterations: int = SCALE_ITERS, n: int | None = No
     per-iteration cost (global-sum barrier + lineage checkpoint, ~1s
     each on this box).
 
-    The timed block runs ``reps`` times back-to-back (default
-    $SPARK_GRAFT_SCALE_REPS = 2) and the BEST run counts — standard
-    timeit-style repetition within one measurement: rep 1 absorbs JIT /
-    codegen warm-up, and co-tenant interference on this shared host only
-    ever subtracts throughput (measured ad-hoc: 1.7M then 3.6M edges/s
-    at the same core count minutes apart), so the max over back-to-back
-    reps estimates the interference-free value of THIS measurement
-    without touching the cross-pair estimator."""
+    Warm-up is explicit and CHEAP: the edge count pages the parquet in,
+    then a single 1-iteration PageRank run exercises every codegen /
+    shuffle path of the timed job at ~1/iterations of its cost. The
+    timed block then runs ``reps`` times (default $SPARK_GRAFT_SCALE_REPS
+    = 1) and the best run counts. Round 4 used best-of-2 FULL reps as
+    warm-up + interference floor; that doubled the dominant local[2] leg
+    (~4 extra minutes per pair on a slow host) for a second-order noise
+    reduction the cross-pair median estimator already provides — the
+    round-5 budget spends those minutes on a third interleaved pair
+    instead, which improves the headline median directly."""
     n = n or int(os.environ.get("SPARK_GRAFT_SCALE_N", str(DEFAULT_SCALE_N)))
-    reps = reps or int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+    reps = reps or int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"))
     g = load_probe_graph(spark, n)
-    e = g.edges.count()  # also warms the block-manager pages
+    e = g.edges.count()  # pages the parquet into the OS cache
+    pagerank(g, damping=0.85, iterations=1, tol=None).count()  # JIT/codegen
     best = float("inf")
     for _ in range(max(reps, 1)):
         t0 = time.time()
@@ -469,7 +526,7 @@ def scaling_run(budget: Budget | None = None) -> dict:
             (F.col("id") * 3).alias("w"))
         best = float("inf")
         # rep 1 doubles as the JIT warm-up (best-of discards it when cold)
-        for _ in range(int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2")) + 1):
+        for _ in range(int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "1")) + 1):
             t0 = time.time()
             a.join(b, "k").groupBy("k").agg(F.sum("v"), F.count("w")).count()
             best = min(best, time.time() - t0)
@@ -487,10 +544,13 @@ def scaling_run(budget: Budget | None = None) -> dict:
         results[8].append(pair[8])
 
     # Pair 1 always runs; pair 2 runs unless it clearly cannot fit (two
-    # pairs are the minimum for the committed-report guard); pair 3 and
-    # everything cheaper is budget-gated on measured-so-far estimates.
+    # pairs are the minimum for the committed-report guard — and pair 2
+    # is cheaper than pair 1: the probe parquet is already in the OS
+    # page cache); pair 3 and everything cheaper is budget-gated on
+    # measured-so-far estimates PLUS the suite reserve, since the suite
+    # still has to run after this phase.
     run_pair(0)
-    if trials >= 2 and budget.allow("scaling pair 2", pair_walls[0] * 0.9):
+    if trials >= 2 and budget.allow("scaling pair 2", pair_walls[0] * 0.75):
         run_pair(1)
 
     # Headline estimator (ADVICE r3): the MEDIAN per-pair efficiency —
@@ -530,9 +590,18 @@ def scaling_run(budget: Budget | None = None) -> dict:
     out = summarize()
     _snap(out)
 
+    # Scaling extras, in decreasing value order, each holding back the
+    # suite reserve. Pair 3 first: it upgrades the HEADLINE estimator
+    # from median-of-2 to median-of-3.
+    if len(pair_walls) >= 2 and trials >= 3 and budget.allow(
+            "scaling pair 3", max(pair_walls) * 1.05, SUITE_RESERVE):
+        run_pair(2)
+        out = summarize()
+        _snap(out)
+
     # local[32] single-node headline point
     est32 = pair_walls[-1] * 0.25 + 30
-    if budget.allow("local[32] headline point", est32):
+    if budget.allow("local[32] headline point", est32, SUITE_RESERVE):
         spark = get_spark(cores=32, shuffle_partitions=parts, app_name="bench32",
                           extra_conf=_SCALING_CONF)
         eps32, _ = pagerank_throughput(spark)
@@ -543,7 +612,7 @@ def scaling_run(budget: Budget | None = None) -> dict:
     # control kernels: 2/8 bound the host's share of any shortfall;
     # 32 documents the single-socket memory-bus plateau
     ctrl: dict[int, float] = {}
-    if budget.allow("control kernels 2/8", 170):
+    if budget.allow("control kernels 2/8", 170, SUITE_RESERVE):
         ctrl[2] = control_kernel(2)
         ctrl[8] = control_kernel(8)
         out["control_rows_per_sec_2"] = round(ctrl[2])
@@ -556,24 +625,9 @@ def scaling_run(budget: Budget | None = None) -> dict:
         out["scaling_efficiency_vs_control"] = round(
             out["scaling_efficiency"]
             / max(out["control_efficiency_2_8"], 1e-9), 3)
-
-    # third interleaved pair (median-of-3 > median-of-2 robustness)
-    if len(pair_walls) >= 2 and trials >= 3 and budget.allow(
-            "scaling pair 3", max(pair_walls) * 1.05):
-        run_pair(2)
-        kept = {k: out[k] for k in (
-            "throughput_eps_32", "scaling_efficiency_8_32",
-            "control_rows_per_sec_2", "control_rows_per_sec_8",
-            "control_efficiency_2_8", "scaling_efficiency_vs_control",
-        ) if k in out}
-        out = {**summarize(), **kept}
-        if "scaling_efficiency_vs_control" in out:
-            out["scaling_efficiency_vs_control"] = round(
-                out["scaling_efficiency"]
-                / max(out["control_efficiency_2_8"], 1e-9), 3)
     _snap(out)
 
-    if 8 in ctrl and budget.allow("control kernel 32", 60):
+    if 8 in ctrl and budget.allow("control kernel 32", 60, SUITE_RESERVE):
         ctrl[32] = control_kernel(32)
         out["control_rows_per_sec_32"] = round(ctrl[32])
         # the 8->32 plateau is the HOST's, not the engine's: the pure
@@ -620,12 +674,13 @@ def write_scaling_report(scaling: dict) -> None:
             "local[32] reported as the single-node headline.\n"
             f"Measured as {scaling['trials']} interleaved 2/8 pairs\n"
             "(in-pair order alternating, so monotone host drift cancels);\n"
-            "each level's throughput within a pair is the best of 2\n"
-            "back-to-back timed runs (timeit-style repetition: co-tenant\n"
-            "interference only subtracts — measured 1.7M → 3.6M edges/s at\n"
-            "the same core count minutes apart — so the in-measurement max\n"
-            "recovers the value the pair was trying to measure without\n"
-            "touching the cross-pair estimator). The committed HEADLINE is\n"
+            "each level warms up explicitly (edge count pages the parquet\n"
+            "in, one 1-iteration PageRank run exercises every codegen and\n"
+            "shuffle path) before a single timed run — round 4's best-of-2\n"
+            "full reps doubled the dominant local[2] leg for a second-order\n"
+            "noise reduction the cross-pair median already provides; the\n"
+            "round-5 budget spends those minutes on a third interleaved\n"
+            "pair instead. The committed HEADLINE is\n"
             "the MEDIAN per-pair efficiency — the directionally unbiased\n"
             "estimator (ADVICE r3). Best-of-N-per-level is reported\n"
             "alongside as the interference-floor estimate, with every raw\n"
@@ -691,9 +746,19 @@ def main():
         }), flush=True)
         return
 
+    # SCALING FIRST: the north-rule criterion must win the budget race
+    # on a slow host (its two core pairs are the only stages that cannot
+    # be traded away); the suite then spends whatever remains, gating
+    # its own expensive blocks.
+    scaling: dict | None = None
+    if os.environ.get("SPARK_GRAFT_SCALING") != "0":
+        scaling = scaling_run(budget)
+        write_scaling_report(scaling)
+
     spark = get_spark(cores=CPUS, shuffle_partitions=CPUS, app_name="bench")
     t0 = time.time()
-    times, extra = run_suite(spark, SF_DIR, budget)
+    times, extra = run_suite(spark, SF_DIR, budget,
+                             snap_base={**out, "scaling": scaling})
     total = round(time.time() - t0, 3)
     spark.stop()
     out.update({
@@ -702,13 +767,8 @@ def main():
         "queries": times,
         **extra,
     })
-    # Snapshot the suite-only result: if the scaling phase is killed by
-    # an external timeout, the SIGTERM handler prints this (round 4's
-    # official artifact was rc=124 with NOTHING parseable).
-    _set_snapshot({**out, "partial": True})
-    if os.environ.get("SPARK_GRAFT_SCALING") != "0":
-        out["scaling"] = scaling_run(budget)
-        write_scaling_report(out["scaling"])
+    if scaling is not None:
+        out["scaling"] = scaling
     out["budget_seconds"] = budget.total
     out["wall_seconds"] = round(budget.elapsed(), 3)
     out["skipped"] = budget.skipped

@@ -20,6 +20,18 @@ def test_budget_allows_within_and_records_skips():
     assert "est 60s" in tight.skipped[0]
 
 
+def test_budget_reserve_holds_back_wall_for_later_phases():
+    # scaling extras must leave the suite its reserve: a stage that fits
+    # the raw remaining but not remaining-minus-reserve is denied, and
+    # the denial records the reserve it respected
+    b = bench.Budget(500)
+    assert b.allow("cheap extra", 50, reserve=400)
+    assert not b.allow("greedy extra", 200, reserve=400)
+    assert "reserve 400s" in b.skipped[-1]
+    # the suite itself asks with no reserve and still fits
+    assert b.allow("suite core", 400)
+
+
 def test_scaling_report_guard_refuses_reduced_runs(tmp_path, monkeypatch):
     # reduced-size and single-trial runs must not overwrite evidence,
     # and the refusal is recorded in the dict itself (ADVICE r4: loud)

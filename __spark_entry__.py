@@ -1406,6 +1406,29 @@ def _q_docs_gopher_quality(spark, sf_dir):
     )
 
 
+def _q_docs_dsir_sample(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): hashed
+    unigram+bigram bag models fit on a target slice (every 13th doc)
+    vs the raw rest; per-doc log importance weights QUANTIZED to 1e-6
+    log-ticks and summed as BIGINTs (exact integer arithmetic — no
+    float association drift between engines or partitionings); Gumbel
+    top-k selection with hash-derived noise
+    (lynxkite_spark.functions.curation.dsir_log_weights/dsir_resample).
+    Scale shape: two broadcast-sized bag models, one broadcast ratio
+    join on the exploded (id, bucket:int) stream, one integer groupBy
+    sum, TakeOrdered top-k."""
+    from lynxkite_spark.functions.curation import dsir_resample
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.where(F.col("doc_id") % 13 == 0)
+    raw = d.where(F.col("doc_id") % 13 != 0)
+    out = dsir_resample(
+        raw.select("doc_id", "text"), target, k=25,
+        n_buckets=256, alpha=1.0, seed=5, portable=True,
+    )
+    return out.select("doc_id", "dsir_logw_q", "selected")
+
+
 def _q_docs_decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag corpus docs sharing any word
     5-gram with a benchmark set (here: every 25th doc plays the eval
@@ -1906,7 +1929,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_count": _q_docs_token_count,
         "docs_quality_score": _q_docs_quality,
         "docs_language_id": _q_docs_lang,
-        "docs_language_confusion": _q_docs_lang_confusion,
+        # value-oracled in round 5 (VERDICT r4 item 3): stays inside the
+        # window so the driver verifies the hash parity officially
+        "docs_text_embedding": _q_docs_text_embedding,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_source_stats": _q_docs_source_stats,
         "embeddings_cosine_topk": _q_emb_topk,
@@ -1918,7 +1943,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_neighborhood_function": _q_neighborhood_function,
         "graph_max_cliques": _q_max_cliques,
         # -- streaming / events --
-        "events_hourly_counts": _q_events_hourly,
         "events_sessionize": _q_sessionize,
         "events_segment_by_sequence": _q_segment_event_sequence,
         # -- graph metrics & transforms --
@@ -1944,6 +1968,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_set_overlap_cc": _q_set_overlap_cc,
         # -- round-4 training-data curation family --
         "docs_gopher_quality": _q_docs_gopher_quality,
+        # new in round 5 (DSIR importance resampling) — new queries go
+        # inside the window per the gate-window policy
+        "docs_dsir_sample": _q_docs_dsir_sample,
         "docs_decontaminate": _q_docs_decontaminate,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_pack_sequences": _q_docs_pack_sequences,
@@ -1978,9 +2005,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast_revenue": _q_tpch_q6,
         "tpch_q10_returned_items": _q_tpch_q10,
         "window_top2_orders_per_customer": _q_window_top2,
-        # rows-only (BLAKE2b not expressible in DuckDB; value checks in
-        # tests/test_text_embedding.py)
-        "docs_text_embedding": _q_docs_text_embedding,
+        # demoted to the tail in round 5 to make room for the newly
+        # value-oracled docs_text_embedding and the new docs_dsir_sample
+        # (both officially green r2-r4; language-ID coverage stays
+        # in-window via docs_language_id, events coverage via
+        # events_sessionize / events_segment_by_sequence /
+        # events_json_props) — recorded in COVERAGE.md's gate-window
+        # history
+        "docs_language_confusion": _q_docs_lang_confusion,
+        "events_hourly_counts": _q_events_hourly,
     }
 
 
@@ -2548,6 +2581,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_gopher_quality": _gopher_oracle_sql(),
         "docs_decontaminate": _decontaminate_oracle_sql(),
+        "docs_dsir_sample": _dsir_oracle_sql(),
         "docs_stratified_sample": _stratified_sample_oracle_sql(),
         "docs_pack_sequences": _pack_sequences_oracle_sql(),
         "docs_c4_line_filter": _c4_oracle_sql(),
@@ -2651,6 +2685,63 @@ def _decontaminate_oracle_sql() -> str:
         SELECT doc_id, count(DISTINCT dg.g) AS n_hits
         FROM dg SEMI JOIN bench ON dg.g = bench.g
         GROUP BY doc_id
+    """
+
+
+def _dsir_oracle_sql(n_buckets: int = 256, k: int = 25, seed: int = 5,
+                     alpha: float = 1.0) -> str:
+    """DuckDB twin of _q_docs_dsir_sample: same portable n-gram bucket
+    hashes, same Laplace-smoothed bag models, same 1e-6-quantized
+    BIGINT log-ratio sums (exact integer arithmetic on both engines),
+    same hash-derived Gumbel top-k."""
+    from lynxkite_spark.functions.curation import hashed_ngram_buckets_sql
+    from lynxkite_spark.functions.dedup import portable_hash64_sql
+
+    bs = hashed_ngram_buckets_sql(n_buckets, (1, 2), "text")
+    h = portable_hash64_sql("CAST(doc_id AS VARCHAR)", seed=seed)
+    return f"""
+        WITH tgt AS (
+          SELECT {bs} AS bs FROM documents WHERE doc_id % 13 = 0
+        ), raw AS (
+          SELECT doc_id, {bs} AS bs FROM documents WHERE doc_id % 13 <> 0
+        ), tex AS (SELECT unnest(bs) AS bucket FROM tgt),
+        rex AS (SELECT unnest(bs) AS bucket FROM raw),
+        tcnt AS (SELECT bucket, count(*) AS cnt FROM tex GROUP BY bucket),
+        rcnt AS (SELECT bucket, count(*) AS cnt FROM rex GROUP BY bucket),
+        ttot AS (SELECT count(*) AS n FROM tex),
+        rtot AS (SELECT count(*) AS n FROM rex),
+        spine AS (SELECT CAST(range AS INT) AS bucket FROM range({n_buckets})),
+        ratio AS (
+          SELECT s.bucket,
+                 CAST(round((
+                   ln((coalesce(tc.cnt, 0) + {alpha})
+                      / (tt.n + {alpha} * {n_buckets}))
+                   - ln((coalesce(rc.cnt, 0) + {alpha})
+                        / (rt.n + {alpha} * {n_buckets}))
+                 ) * 1000000) AS BIGINT) AS ratio_q
+          FROM spine s
+          LEFT JOIN tcnt tc USING (bucket)
+          LEFT JOIN rcnt rc USING (bucket)
+          CROSS JOIN ttot tt CROSS JOIN rtot rt
+        ), docg AS (
+          SELECT doc_id, unnest(bs) AS bucket FROM raw
+        ), dw AS (
+          SELECT doc_id, CAST(sum(ratio_q) AS BIGINT) AS s
+          FROM docg JOIN ratio USING (bucket) GROUP BY doc_id
+        ), w AS (
+          SELECT r.doc_id, CAST(coalesce(dw.s, 0) AS BIGINT) AS dsir_logw_q
+          FROM (SELECT doc_id FROM raw) r LEFT JOIN dw USING (doc_id)
+        ), keyed AS (
+          SELECT doc_id, dsir_logw_q,
+                 dsir_logw_q + CAST(round(
+                   -ln(-ln((({h}) % 1000000 + 0.5) / 1e6)) * 1000000
+                 ) AS BIGINT) AS key
+          FROM w
+        )
+        SELECT doc_id, dsir_logw_q,
+               (row_number() OVER (ORDER BY key DESC, doc_id) <= {k})
+                 AS selected
+        FROM keyed
     """
 
 

@@ -470,3 +470,185 @@ def mask_pii(
     for k, p in PII_PATTERNS.items():
         out = out.withColumn(f"n_{k}", F.regexp_count(col, F.lit(p)).cast("long"))
     return out.withColumn(out_col, masked)
+
+
+# ------------------------------------- DSIR importance resampling (round 5)
+
+def hashed_ngram_buckets(
+    col: Column,
+    n_buckets: int = 4096,
+    ns: tuple[int, ...] = (1, 2),
+    portable: bool = False,
+) -> Column:
+    """Hashed n-gram feature buckets per document (DSIR, Xie et al.
+    2023 §3: unigram+bigram hashes folded into a fixed bucket space).
+    One array element per n-gram OCCURRENCE — bucket collisions and
+    repeats are the model, exactly as in the paper.  Row-local (no
+    shuffle); ``portable=True`` switches to the md5-derived hash DuckDB
+    can replay (oracle parity), same trade as dedup.portable_hash64."""
+    parts = [
+        F.transform(
+            ngram_hashes(col, n, portable=portable),
+            lambda h: F.pmod(h, F.lit(n_buckets)).cast("int"),
+        )
+        for n in ns
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.concat(out, p)
+    return out
+
+
+def hashed_ngram_buckets_sql(
+    n_buckets: int = 4096,
+    ns: tuple[int, ...] = (1, 2),
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of :func:`hashed_ngram_buckets` (portable hash)."""
+    parts = [
+        f"list_transform({ngram_hashes_sql(n, text_expr)}, "
+        f"h -> CAST(h % {n_buckets} AS INT))"
+        for n in ns
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = f"list_concat({out}, {p})"
+    return out
+
+
+LOGW_SCALE = 1_000_000  # quantization: 1e-6 in log space
+
+
+def _dsir_bucket_logprobs(
+    docs: DataFrame,
+    text_col: str,
+    n_buckets: int,
+    ns: tuple[int, ...],
+    alpha: float,
+    portable: bool,
+) -> DataFrame:
+    """Laplace-smoothed bag-of-buckets model: DataFrame[bucket, logp]
+    covering EVERY bucket (zero-count buckets get the smoothing mass).
+    One explode + one map-side-combinable aggregation; the result is
+    ``n_buckets`` rows — broadcast-sized by construction."""
+    spark = docs.sparkSession
+    counts = (
+        docs.select(
+            F.explode(
+                hashed_ngram_buckets(F.col(text_col), n_buckets, ns, portable)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    total = counts.agg(F.sum("cnt")).first()[0] or 0
+    denom = float(total) + alpha * n_buckets
+    return (
+        spine.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.log((F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+                  / F.lit(denom)).alias("logp"),
+        )
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    ns: tuple[int, ...] = (1, 2),
+    alpha: float = 1.0,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-document DSIR log importance weight log p_target(x) -
+    log p_raw(x) under hashed n-gram bag models (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling").
+
+    Returns DataFrame[id_col, dsir_logw_q, n_grams] where
+    ``dsir_logw_q`` is the weight QUANTIZED to ``LOGW_SCALE`` ticks and
+    summed as a BIGINT: per-bucket log-ratios are rounded once, so the
+    per-doc sum is exact integer arithmetic — identical on any
+    partitioning, any executor count, and any SQL engine (float sums
+    are association-ordered; this is not).  Docs with no n-grams get
+    weight 0.
+
+    Scale shape: two bag-model fits (explode + map-side-combinable
+    count, ``n_buckets`` result rows each), one broadcast join of the
+    quantized ratio table onto the exploded corpus, one groupBy(id)
+    integer sum.  Nothing driver-side, no text shuffled — the exploded
+    stream is (id, bucket:int) pairs."""
+    t = _dsir_bucket_logprobs(target, text_col, n_buckets, ns, alpha, portable)
+    r = _dsir_bucket_logprobs(raw, text_col, n_buckets, ns, alpha, portable)
+    ratio = (
+        t.alias("t")
+        .join(r.alias("r"), "bucket")
+        .select(
+            "bucket",
+            F.round((F.col("t.logp") - F.col("r.logp")) * LOGW_SCALE)
+            .cast("long")
+            .alias("ratio_q"),
+        )
+    )
+    grams = raw.select(
+        F.col(id_col),
+        F.explode_outer(
+            hashed_ngram_buckets(F.col(text_col), n_buckets, ns, portable)
+        ).alias("bucket"),
+    )
+    return (
+        grams.join(F.broadcast(ratio), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.coalesce(F.sum("ratio_q"), F.lit(0)).cast("long").alias("dsir_logw_q"),
+            F.count("bucket").alias("n_grams"),
+        )
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    ns: tuple[int, ...] = (1, 2),
+    alpha: float = 1.0,
+    seed: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """Select ``k`` documents from ``raw`` by Gumbel-top-k sampling
+    proportional to the DSIR importance weights (the paper's sampling
+    without replacement, expressed as one deterministic key per doc:
+    key = logw + Gumbel(hash(id, seed))).
+
+    Returns raw's columns + ``dsir_logw_q`` + ``selected``.  The
+    Gumbel noise is hash-derived, so the selection is a pure function
+    of (corpus, target, k, seed) — reproducible across runs, cluster
+    sizes, and engines.  Top-k is orderBy+limit (TakeOrdered: per-
+    partition partial top-k, merged once — never a global sort), then a
+    broadcast semi-join marks the winners; k is assumed driver-small."""
+    w = dsir_log_weights(raw, target, id_col, text_col, n_buckets, ns,
+                         alpha, portable)
+    u = (F.pmod(portable_hash64(F.col(id_col), seed), F.lit(LOGW_SCALE))
+         .cast("double") + F.lit(0.5)) / F.lit(float(LOGW_SCALE))
+    keyed = w.select(
+        id_col, "dsir_logw_q",
+        (F.col("dsir_logw_q")
+         + F.round(-F.log(-F.log(u)) * LOGW_SCALE).cast("long")).alias("_key"),
+    )
+    top = keyed.orderBy(F.col("_key").desc(), F.col(id_col)).limit(k).select(id_col)
+    return (
+        raw.join(keyed.select(id_col, "dsir_logw_q"), id_col)
+        .join(
+            F.broadcast(top.select(F.col(id_col).alias("_sel"))),
+            F.col(id_col) == F.col("_sel"),
+            "left",
+        )
+        .select(*raw.columns, "dsir_logw_q",
+                F.col("_sel").isNotNull().alias("selected"))
+    )

@@ -49,18 +49,22 @@ def brute_force_topk(
     corpus streams by — one pass, no shuffle until the per-query top-k
     aggregation. Ties broken by corpus id (deterministic).
     Returns DataFrame[query_id, neighbor_id, cosine_sim, rank]."""
+    # norms once per vector, not once per (query, corpus) pair
     q = F.broadcast(
         _as_double(queries, vec_col).select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+            norm(F.col(vec_col)).alias("_qn"),
         )
     )
     c = _as_double(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
     )
     scored = c.crossJoin(q).where(F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
+        (dot(F.col("_qv"), F.col("_cv"))
+         / (F.col("_qn") * F.col("_cn"))).alias("cosine_sim"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -275,10 +279,43 @@ def ann_lsh_topk(
         raise ValueError(f"unknown profile {profile!r}")
     n_planes = 8 if n_planes is None else n_planes
     bands = 4 if bands is None else bands
+    # Vectors and norms are joined back AFTER the (band, code) join +
+    # dedup: the exploded candidate stream is the big thing here (corpus
+    # ×bands rows, then up to |q|×|bucket| candidate pairs), so it must
+    # stay SKINNY — (id, band, code) only, never carrying the embedding
+    # array through the join and the dropDuplicates shuffle (round-5
+    # perf fix: carrying 64 doubles per row made that shuffle ~17×
+    # fatter than needed).  Norms are computed ONCE per vector here, not
+    # once per candidate pair.
+    c_vec = _as_double(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
+    )
+    q_vec = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
+    )
+
+    def score(cand: DataFrame) -> DataFrame:
+        # cand: skinny distinct (query_id, neighbor_id) pairs; the
+        # vector re-joins are id-equi-joins Catalyst/AQE can broadcast
+        # when a side is small (the query side virtually always is)
+        return (
+            cand.join(c_vec, "neighbor_id")
+            .join(q_vec, "query_id")
+            .select(
+                "query_id", "neighbor_id",
+                (dot(F.col("_qv"), F.col("_cv"))
+                 / (F.col("_qn") * F.col("_cn"))).alias("cosine_sim"),
+            )
+        )
+
     if bands > 1:
         planes = random_hyperplanes(dim, n_planes * bands, seed)
 
-        def with_bands(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        def with_bands(df: DataFrame, out_id: str) -> DataFrame:
             d = _as_double(df, vec_col)
             codes = banded_codes(F.col(vec_col), planes, n_planes, bands)
             probes = F.array(*[
@@ -287,12 +324,11 @@ def ann_lsh_topk(
             ])
             return d.select(
                 F.col(id_col).alias(out_id),
-                F.col(vec_col).alias(out_vec),
                 F.explode(probes).alias("_p"),
-            ).select(out_id, out_vec, "_p.band", "_p.code")
+            ).select(out_id, "_p.band", "_p.code")
 
-        c = with_bands(corpus, "neighbor_id", "_cv")
-        q = with_bands(queries, "query_id", "_qv")
+        c = with_bands(corpus, "neighbor_id")
+        q = with_bands(queries, "query_id")
         if max_bucket_size is not None:
             ok = (
                 c.groupBy("band", "code")
@@ -304,22 +340,18 @@ def ann_lsh_topk(
         cand = (
             c.join(q, ["band", "code"])
             .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
             .dropDuplicates(["query_id", "neighbor_id"])
         )
-        scored = cand.select(
-            "query_id", "neighbor_id",
-            cosine(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
-        )
+        scored = score(cand)
     else:
         planes = random_hyperplanes(dim, n_planes, seed)
         c = _as_double(corpus, vec_col).select(
             F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("_cv"),
             lsh_bucket(F.col(vec_col), planes).alias("bucket"),
         )
         q = _as_double(queries, vec_col).select(
             F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("_qv"),
             lsh_bucket(F.col(vec_col), planes).alias("bucket"),
         )
         if multi_probe:
@@ -331,17 +363,16 @@ def ann_lsh_topk(
                 ],
             )
             q = q.select(
-                "query_id", "_qv", F.explode(probes).alias("bucket")
+                "query_id", F.explode(probes).alias("bucket")
             )
-        scored = (
+        cand = (
             c.join(q, "bucket")
             .where(F.col("query_id") != F.col("neighbor_id"))
-            .select(
-                "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("cosine_sim")
-            )
+            .select("query_id", "neighbor_id")
         )
         if multi_probe:
-            scored = scored.dropDuplicates(["query_id", "neighbor_id"])
+            cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+        scored = score(cand)
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -367,6 +398,12 @@ def embedding_near_duplicates(
     signature). Returns DataFrame[a, b, cosine_sim]."""
     planes = random_hyperplanes(dim, max(n_planes * bands, n_planes), seed)
     d = _as_double(corpus, vec_col)
+    # skinny candidate stream + single norm per vector (see ann_lsh_topk:
+    # the bucket self-join and its dedup must never carry the embedding)
+    vecs = d.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n2"),
+    )
     if bands > 1:
         codes = banded_codes(F.col(vec_col), planes, n_planes, bands)
         probes = F.array(*[
@@ -374,14 +411,13 @@ def embedding_near_duplicates(
             for i in range(bands)
         ])
         c = d.select(
-            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+            F.col(id_col).alias("_id"),
             F.explode(probes).alias("_p"),
-        ).select("_id", "_v", "_p.band", "_p.code")
+        ).select("_id", "_p.band", "_p.code")
         key = ["band", "code"]
     else:
         c = d.select(
             F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("_v"),
             lsh_bucket(F.col(vec_col), planes[:n_planes]).alias("bucket"),
         )
         key = ["bucket"]
@@ -395,13 +431,20 @@ def embedding_near_duplicates(
             .select(*key)
         )
         c = c.join(ok, key, "left_semi")
-    a = c.select(F.col("_id").alias("a"), F.col("_v").alias("_va"), *key)
-    b = c.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"), *key)
-    pairs = a.join(b, key).where(F.col("a") < F.col("b"))
+    a = c.select(F.col("_id").alias("a"), *key)
+    b = c.select(F.col("_id").alias("b"), *key)
+    pairs = a.join(b, key).where(F.col("a") < F.col("b")).select("a", "b")
     if bands > 1:
         pairs = pairs.dropDuplicates(["a", "b"])
+    va = vecs.select(F.col("_id").alias("a"), F.col("_v").alias("_va"),
+                     F.col("_n2").alias("_na"))
+    vb = vecs.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"),
+                     F.col("_n2").alias("_nb"))
     return (
-        pairs.select("a", "b", cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"))
+        pairs.join(va, "a").join(vb, "b")
+        .select("a", "b",
+                (dot(F.col("_va"), F.col("_vb"))
+                 / (F.col("_na") * F.col("_nb"))).alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
     )
 
@@ -426,9 +469,16 @@ def ivf_topk(
     round (centroids are tiny); the query join touches nprobe/n_centroids
     of the corpus.
     """
+    # norms once per corpus row / query / centroid — the centroid
+    # crossJoins otherwise recompute norm(_v) n_centroids times per row
     c = _as_double(corpus, vec_col).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_vn"),
     )
+
+    def with_cnorm(df: DataFrame) -> DataFrame:
+        return df.select("cid", "cv", norm(F.col("cv")).alias("cvn"))
+
     # deterministic init: the n_centroids rows with smallest hash
     init = (
         c.withColumn("_h", F.xxhash64("_id", F.lit(seed)))
@@ -436,11 +486,12 @@ def ivf_topk(
         .limit(n_centroids)
         .select(F.monotonically_increasing_id().alias("cid"), F.col("_v").alias("cv"))
     )
-    cent = F.broadcast(init)
+    cent = F.broadcast(with_cnorm(init))
     for _ in range(lloyd_iterations):
         assigned = (
             c.crossJoin(cent)
-            .withColumn("_sim", cosine(F.col("_v"), F.col("cv")))
+            .withColumn("_sim", dot(F.col("_v"), F.col("cv"))
+                        / (F.col("_vn") * F.col("cvn")))
             .withColumn(
                 "_rk",
                 F.row_number().over(
@@ -449,7 +500,7 @@ def ivf_topk(
             )
             .where(F.col("_rk") == 1)
         )
-        cent = F.broadcast(
+        cent = F.broadcast(with_cnorm(
             assigned.select("cid", "_v")
             .groupBy("cid")
             .agg(F.collect_list("_v").alias("vs"))
@@ -461,10 +512,11 @@ def ivf_topk(
                     " (acc, v) -> acc + v[i]) / size(vs))"
                 ).alias("cv"),
             )
-        )
+        ))
     lists = (
         c.crossJoin(cent)
-        .withColumn("_sim", cosine(F.col("_v"), F.col("cv")))
+        .withColumn("_sim", dot(F.col("_v"), F.col("cv"))
+                    / (F.col("_vn") * F.col("cvn")))
         .withColumn(
             "_rk",
             F.row_number().over(
@@ -472,14 +524,17 @@ def ivf_topk(
             ),
         )
         .where(F.col("_rk") == 1)
-        .select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("_cv2"), "cid")
+        .select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("_cv2"),
+                F.col("_vn").alias("_cn2"), "cid")
     )
     q = _as_double(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
     q_probe = (
         q.crossJoin(cent)
-        .withColumn("_sim", cosine(F.col("_qv"), F.col("cv")))
+        .withColumn("_sim", dot(F.col("_qv"), F.col("cv"))
+                    / (F.col("_qn") * F.col("cvn")))
         .withColumn(
             "_rk",
             F.row_number().over(
@@ -487,13 +542,15 @@ def ivf_topk(
             ),
         )
         .where(F.col("_rk") <= nprobe)
-        .select("query_id", "_qv", "cid")
+        .select("query_id", "_qv", "_qn", "cid")
     )
     scored = (
         q_probe.join(lists, "cid")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
-            "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv2")).alias("cosine_sim")
+            "query_id", "neighbor_id",
+            (dot(F.col("_qv"), F.col("_cv2"))
+             / (F.col("_qn") * F.col("_cn2"))).alias("cosine_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))

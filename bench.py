@@ -142,14 +142,33 @@ def ensure_probe_graph(n: int, out_degree: int = DEFAULT_OUT_DEGREE,
     edge-parquet path."""
     path = _probe_cache_dir(n, out_degree, seed)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
+        if not os.path.exists(os.path.join(path, "edge_count.txt")):
+            # sidecar missing (cache from an older round): one count at
+            # full parallelism, paid once, not once per local[2] session
+            spark = get_spark(cores=32, shuffle_partitions=parts,
+                              app_name="benchcount")
+            cnt = spark.read.parquet(path).count()
+            spark.stop()
+            with open(os.path.join(path, "edge_count.txt"), "w") as f:
+                f.write(str(cnt))
         return path
     from lynxkite_spark.operators.generators import scale_free
 
     spark = get_spark(cores=32, shuffle_partitions=parts, app_name="benchgen")
     g = scale_free(spark, n=n, out_degree=out_degree, seed=seed)
     g.edges.repartition(parts).write.mode("overwrite").parquet(path)
+    cnt = spark.read.parquet(path).count()
     spark.stop()
+    with open(os.path.join(path, "edge_count.txt"), "w") as f:
+        f.write(str(cnt))
     return path
+
+
+def probe_edge_count(n: int, out_degree: int = DEFAULT_OUT_DEGREE,
+                     seed: int = 42) -> int:
+    with open(os.path.join(_probe_cache_dir(n, out_degree, seed),
+                           "edge_count.txt")) as f:
+        return int(f.read().strip())
 
 
 def load_probe_graph(spark, n: int, out_degree: int = DEFAULT_OUT_DEGREE,
@@ -201,55 +220,61 @@ def run_suite(spark, sf_dir: str, budget: Budget | None = None,
             "queries": dict(times), **extra, "partial": True,
         })
 
+    # Every section is budget-gated (round 5): when the scaling phase
+    # has already spent the wall on a slow host, the right artifact is
+    # "official scaling + loud suite skips + rc 0", not an overshoot
+    # into the driver's kill.
     g_sym = coorder_graph(spark, sf_dir, symmetric=True)
     g_canon = coorder_graph(spark, sf_dir, symmetric=False)
-    n_edges = g_sym.edges.count()
 
-    t0 = time.time()
-    pr = pagerank(g_sym, damping=0.85, tol=1e-6, max_iterations=100)
-    n_iter_rows = pr.count()
-    t_pr = time.time() - t0
-    times["q_pagerank_converge"] = round(t_pr, 3)
-    # iterations actually run are in the convergence history; recompute via
-    # fixed-iteration throughput metric: edges × iterations / sec
-    extra["pagerank_edges"] = n_edges
-    extra["pagerank_vertices"] = n_iter_rows
+    if budget.allow("suite: graph core", 75):
+        n_edges = g_sym.edges.count()
+        t0 = time.time()
+        pr = pagerank(g_sym, damping=0.85, tol=1e-6, max_iterations=100)
+        n_iter_rows = pr.count()
+        t_pr = time.time() - t0
+        times["q_pagerank_converge"] = round(t_pr, 3)
+        # iterations actually run are in the convergence history; recompute
+        # via fixed-iteration throughput metric: edges × iterations / sec
+        extra["pagerank_edges"] = n_edges
+        extra["pagerank_vertices"] = n_iter_rows
 
-    t0 = time.time()
-    connected_components(g_canon, algorithm="star").count()
-    times["q_connected_components"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        connected_components(g_canon, algorithm="star").count()
+        times["q_connected_components"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    triangle_count(g_canon).count()
-    times["q_triangle_count"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        triangle_count(g_canon).count()
+        times["q_triangle_count"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    label_propagation(g_canon, max_iterations=10).count()
-    times["q_label_propagation"] = round(time.time() - t0, 3)
-    snap()
+        t0 = time.time()
+        label_propagation(g_canon, max_iterations=10).count()
+        times["q_label_propagation"] = round(time.time() - t0, 3)
+        snap()
 
     # derived-corpus pagerank (the north-rule input shape)
     from lynxkite_spark.corpus import synth_corpus
     from lynxkite_spark.derive import derive_repo_edges
 
-    t0 = time.time()
-    corpus = synth_corpus(spark, n_repos=2000, n_files=200_000, seed=42)
-    edges, _ = derive_repo_edges(corpus)
-    e_cnt = edges.count()
-    times["q_corpus_derive"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    g_repo = Graph.from_edges(edges)
-    pagerank(g_repo, damping=0.85, tol=1e-6, max_iterations=100).count()
-    times["q_corpus_pagerank"] = round(time.time() - t0, 3)
-    extra["corpus_edges"] = e_cnt
+    if budget.allow("suite: corpus derive", 50):
+        t0 = time.time()
+        corpus = synth_corpus(spark, n_repos=2000, n_files=200_000, seed=42)
+        edges, _ = derive_repo_edges(corpus)
+        e_cnt = edges.count()
+        times["q_corpus_derive"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        g_repo = Graph.from_edges(edges)
+        pagerank(g_repo, damping=0.85, tol=1e-6, max_iterations=100).count()
+        times["q_corpus_pagerank"] = round(time.time() - t0, 3)
+        extra["corpus_edges"] = e_cnt
 
-    # same derive, JVM-side regexp_extract_all (no Arrow boundary):
-    # quantifies the Python-boundary cost of the pandas-UDF contract path
-    t0 = time.time()
-    edges_b, _ = derive_repo_edges(corpus, extractor="builtin")
-    edges_b.count()
-    times["q_corpus_derive_builtin"] = round(time.time() - t0, 3)
-    snap()
+        # same derive, JVM-side regexp_extract_all (no Arrow boundary):
+        # quantifies the Python-boundary cost of the pandas-UDF contract
+        t0 = time.time()
+        edges_b, _ = derive_repo_edges(corpus, extractor="builtin")
+        edges_b.count()
+        times["q_corpus_derive_builtin"] = round(time.time() - t0, 3)
+        snap()
 
     # LLM-pipeline suites (VERDICT r1 item 10: bench breadth)
     from lynxkite_spark.functions.dedup import (
@@ -265,22 +290,24 @@ def run_suite(spark, sf_dir: str, budget: Budget | None = None,
     from lynxkite_spark.operators.hyperball import hyperball
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    t0 = time.time()
-    exact_duplicates(docs).count()
-    times["q_docs_exact_dedup"] = round(time.time() - t0, 3)
+    if budget.allow("suite: dedup family", 55):
+        t0 = time.time()
+        exact_duplicates(docs).count()
+        times["q_docs_exact_dedup"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    minhash_dedup(docs, num_hashes=64, bands=16, threshold=0.5).count()
-    times["q_docs_minhash_dedup"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        minhash_dedup(docs, num_hashes=64, bands=16, threshold=0.5).count()
+        times["q_docs_minhash_dedup"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    minhash_dedup(docs, num_hashes=64, bands=16, threshold=0.5, verify="estimate").count()
-    times["q_docs_minhash_estimate"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        minhash_dedup(docs, num_hashes=64, bands=16, threshold=0.5,
+                      verify="estimate").count()
+        times["q_docs_minhash_estimate"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    simhash(docs).count()
-    times["q_docs_simhash"] = round(time.time() - t0, 3)
-    snap()
+        t0 = time.time()
+        simhash(docs).count()
+        times["q_docs_simhash"] = round(time.time() - t0, 3)
+        snap()
 
     # round-4 curation family (production hash paths, not the oracle ones)
     from lynxkite_spark.functions.curation import (
@@ -290,23 +317,36 @@ def run_suite(spark, sf_dir: str, budget: Budget | None = None,
     )
     from lynxkite_spark.functions.text import tokens as _tok
 
-    t0 = time.time()
-    gopher_quality_flags(docs).where("keep").count()
-    times["q_docs_gopher_quality"] = round(time.time() - t0, 3)
+    if budget.allow("suite: curation family", 40):
+        t0 = time.time()
+        gopher_quality_flags(docs).where("keep").count()
+        times["q_docs_gopher_quality"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    contaminated_docs(
-        docs.where(F.col("doc_id") % 25 != 0),
-        docs.where(F.col("doc_id") % 25 == 0), n=5,
-    ).count()
-    times["q_docs_decontaminate"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        contaminated_docs(
+            docs.where(F.col("doc_id") % 25 != 0),
+            docs.where(F.col("doc_id") % 25 == 0), n=5,
+        ).count()
+        times["q_docs_decontaminate"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    pack_sequences(
-        docs.select("doc_id", F.size(_tok(F.col("text"))).alias("n_tokens")),
-        max_tokens=2048, token_col="n_tokens", num_groups=64,
-    ).select("pack_group", "chunk").distinct().count()
-    times["q_docs_pack_sequences"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        pack_sequences(
+            docs.select("doc_id", F.size(_tok(F.col("text"))).alias("n_tokens")),
+            max_tokens=2048, token_col="n_tokens", num_groups=64,
+        ).select("pack_group", "chunk").distinct().count()
+        times["q_docs_pack_sequences"] = round(time.time() - t0, 3)
+
+    # DSIR importance resampling (round 5): production xxhash64 path
+    from lynxkite_spark.functions.curation import dsir_resample
+
+    if budget.allow("dsir probe", 30):
+        t0 = time.time()
+        dsir_resample(
+            docs.where(F.col("doc_id") % 13 != 0).select("doc_id", "text"),
+            docs.where(F.col("doc_id") % 13 == 0),
+            k=100, n_buckets=4096, seed=5,
+        ).where("selected").count()
+        times["q_docs_dsir_sample"] = round(time.time() - t0, 3)
     snap()
 
     # The ANN block on this near-structure-free corpus intrinsically
@@ -419,7 +459,12 @@ def run_suite(spark, sf_dir: str, budget: Budget | None = None,
     return times, extra
 
 
-SCALE_ITERS = 4
+# 3 timed iterations (was 4): the efficiency ratio is iteration-count
+# invariant (both levels scale linearly in iterations), so the extra
+# iteration bought only averaging time — at ~95s/iteration on the
+# local[2] leg of a slow host, trimming it is what lets two full pairs
+# AND the suite fit the driver budget together.
+SCALE_ITERS = 3
 
 
 def pagerank_throughput(spark, iterations: int = SCALE_ITERS, n: int | None = None,
@@ -446,7 +491,10 @@ def pagerank_throughput(spark, iterations: int = SCALE_ITERS, n: int | None = No
     n = n or int(os.environ.get("SPARK_GRAFT_SCALE_N", str(DEFAULT_SCALE_N)))
     reps = reps or int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"))
     g = load_probe_graph(spark, n)
-    e = g.edges.count()  # pages the parquet into the OS cache
+    # exact edge count from the generation-time sidecar — a per-session
+    # count() at local[2] cost ~60s and duplicated the paging the warm-up
+    # iteration already does (it scans the edge table in full)
+    e = probe_edge_count(n)
     pagerank(g, damping=0.85, iterations=1, tol=None).count()  # JIT/codegen
     best = float("inf")
     for _ in range(max(reps, 1)):
@@ -550,7 +598,11 @@ def scaling_run(budget: Budget | None = None) -> dict:
     # measured-so-far estimates PLUS the suite reserve, since the suite
     # still has to run after this phase.
     run_pair(0)
-    if trials >= 2 and budget.allow("scaling pair 2", pair_walls[0] * 0.75):
+    if trials >= 2 and budget.allow("scaling pair 2", pair_walls[0] * 0.6):
+        # 0.6: pair 2 is cheaper than pair 1 (probe parquet now in the
+        # OS page cache) and two pairs matter more than suite breadth —
+        # the suite sections all carry their own gates and skip loudly
+        # if this overshoots
         run_pair(1)
 
     # Headline estimator (ADVICE r3): the MEDIAN per-pair efficiency —
@@ -640,19 +692,22 @@ def scaling_run(budget: Budget | None = None) -> dict:
 
 def write_scaling_report(scaling: dict) -> None:
     # The committed report is official evidence: only a full-size,
-    # multi-pair run may rewrite it (probe/smoke runs with a reduced
-    # SPARK_GRAFT_SCALE_N or a single trial would clobber it with
-    # meaningless numbers — happened twice in round 4). The size
-    # threshold is derived from the default probe size (ADVICE r4: a
-    # hardcoded 50M silently disagreed with the env knob it guards), and
-    # the skip is surfaced in the scaling dict itself, not just stderr.
+    # 3-pair run WITH the control kernels may rewrite it (probe/smoke
+    # runs with a reduced SPARK_GRAFT_SCALE_N or fewer trials would
+    # clobber it with thinner numbers — a budget-trimmed 2-pair run did
+    # exactly that once in round 5). The size threshold is derived from
+    # the default probe size (ADVICE r4: a hardcoded 50M silently
+    # disagreed with the env knob it guards), and the skip is surfaced
+    # in the scaling dict itself, not just stderr.  Budget-trimmed
+    # driver runs still publish their numbers in the BENCH_r{N}.json
+    # `scaling` key — this guard only protects the committed file.
     min_edges = int(0.75 * DEFAULT_SCALE_N * DEFAULT_OUT_DEGREE)
-    if scaling.get("edges", 0) < min_edges or scaling.get("trials", 0) < 2:
+    if (scaling.get("edges", 0) < min_edges or scaling.get("trials", 0) < 3
+            or "control_efficiency_2_8" not in scaling):
         reason = (
-            f"reduced-size or single-trial run (edges "
-            f"{scaling.get('edges', 0)} < {min_edges} or trials "
-            f"{scaling.get('trials', 0)} < 2) does not overwrite "
-            f"committed evidence")
+            f"reduced run (edges {scaling.get('edges', 0)} < {min_edges} "
+            f"or trials {scaling.get('trials', 0)} < 3 or control kernels "
+            f"skipped) does not overwrite committed evidence")
         scaling["report_written"] = False
         scaling["report_skip_reason"] = reason
         print(f"write_scaling_report: skipped ({reason})", file=sys.stderr)

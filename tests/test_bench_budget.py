@@ -33,9 +33,17 @@ def test_budget_reserve_holds_back_wall_for_later_phases():
 
 
 def test_scaling_report_guard_refuses_reduced_runs(tmp_path, monkeypatch):
-    # reduced-size and single-trial runs must not overwrite evidence,
-    # and the refusal is recorded in the dict itself (ADVICE r4: loud)
-    for bad in ({"edges": 100, "trials": 3}, {"edges": 10**9, "trials": 1}):
+    # reduced-size, fewer-than-3-trial, and controls-skipped runs must
+    # not overwrite evidence, and the refusal is recorded in the dict
+    # itself (ADVICE r4: loud).  A budget-trimmed 2-pair driver run
+    # clobbered the committed 3-pair+controls report once in round 5 —
+    # hence trials >= 3 and the control-kernel requirement.
+    for bad in (
+        {"edges": 100, "trials": 3, "control_efficiency_2_8": 0.8},
+        {"edges": 10**9, "trials": 1, "control_efficiency_2_8": 0.8},
+        {"edges": 10**9, "trials": 2, "control_efficiency_2_8": 0.8},
+        {"edges": 10**9, "trials": 3},  # control kernels budget-skipped
+    ):
         bench.write_scaling_report(bad)
         assert bad["report_written"] is False
         assert "does not overwrite" in bad["report_skip_reason"]
@@ -45,8 +53,10 @@ def test_scaling_report_threshold_tracks_default_probe_size():
     # ADVICE r4: the guard threshold must derive from the default probe
     # size, not a hardcoded constant
     edges_default = bench.DEFAULT_SCALE_N * bench.DEFAULT_OUT_DEGREE
-    ok = {"edges": int(0.76 * edges_default), "trials": 2}
-    bad = {"edges": int(0.5 * edges_default), "trials": 2}
+    ok = {"edges": int(0.76 * edges_default), "trials": 3,
+          "control_efficiency_2_8": 0.8}
+    bad = {"edges": int(0.5 * edges_default), "trials": 3,
+           "control_efficiency_2_8": 0.8}
     bench.write_scaling_report(bad)
     assert bad["report_written"] is False
     # the passing path would write BENCH/BASELINE.md — verify only the

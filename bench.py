@@ -141,15 +141,18 @@ def ensure_probe_graph(n: int, out_degree: int = DEFAULT_OUT_DEGREE,
     generator — the vertex side is a free ``spark.range``. Returns the
     edge-parquet path."""
     path = _probe_cache_dir(n, out_degree, seed)
+    # the sidecar lives NEXT TO the parquet dir, never inside it —
+    # spark.read.parquet(dir) reads every file in the dir as parquet
+    sidecar = path + ".edge_count"
     if os.path.exists(os.path.join(path, "_SUCCESS")):
-        if not os.path.exists(os.path.join(path, "edge_count.txt")):
+        if not os.path.exists(sidecar):
             # sidecar missing (cache from an older round): one count at
             # full parallelism, paid once, not once per local[2] session
             spark = get_spark(cores=32, shuffle_partitions=parts,
                               app_name="benchcount")
             cnt = spark.read.parquet(path).count()
             spark.stop()
-            with open(os.path.join(path, "edge_count.txt"), "w") as f:
+            with open(sidecar, "w") as f:
                 f.write(str(cnt))
         return path
     from lynxkite_spark.operators.generators import scale_free
@@ -159,15 +162,14 @@ def ensure_probe_graph(n: int, out_degree: int = DEFAULT_OUT_DEGREE,
     g.edges.repartition(parts).write.mode("overwrite").parquet(path)
     cnt = spark.read.parquet(path).count()
     spark.stop()
-    with open(os.path.join(path, "edge_count.txt"), "w") as f:
+    with open(sidecar, "w") as f:
         f.write(str(cnt))
     return path
 
 
 def probe_edge_count(n: int, out_degree: int = DEFAULT_OUT_DEGREE,
                      seed: int = 42) -> int:
-    with open(os.path.join(_probe_cache_dir(n, out_degree, seed),
-                           "edge_count.txt")) as f:
+    with open(_probe_cache_dir(n, out_degree, seed) + ".edge_count") as f:
         return int(f.read().strip())
 
 

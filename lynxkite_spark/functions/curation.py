@@ -632,6 +632,9 @@ def dsir_resample(
     sizes, and engines.  Top-k is orderBy+limit (TakeOrdered: per-
     partition partial top-k, merged once — never a global sort), then a
     broadcast semi-join marks the winners; k is assumed driver-small."""
+    # drop pre-existing output columns so the operator is re-runnable
+    # on its own output schema (same contract as mask_pii, ADVICE r4)
+    raw = raw.drop("dsir_logw_q", "selected")
     w = dsir_log_weights(raw, target, id_col, text_col, n_buckets, ns,
                          alpha, portable)
     u = (F.pmod(portable_hash64(F.col(id_col), seed), F.lit(LOGW_SCALE))

@@ -327,6 +327,16 @@ def test_curation_pipeline_end_to_end(spark):
         .select("doc_id", F.col("clean_text").alias("text"), "source")
     bad = contaminated_docs(d3, bench, n=5)
     d4 = d3.join(bad.select("doc_id"), "doc_id", "left_anti")
+    # DSIR composes mid-pipeline (round 5): weigh the cleaned corpus
+    # against a target slice and keep everything (k = corpus size) —
+    # here only the schema/row contract is asserted; selection quality
+    # has its own tests in test_dsir.py
+    from lynxkite_spark.functions.curation import dsir_resample
+
+    target = d4.where(F.col("doc_id") % 10 == 1).select("doc_id", "text")
+    d4w = dsir_resample(d4, target, k=1000, n_buckets=256, seed=3)
+    assert d4w.count() == d4.count()
+    d4 = d4w.where("selected").drop("dsir_logw_q", "selected")
     d5 = stratified_sample(d4, "source", {"src0": 1.0, "src1": 1.0, "src2": 0.0},
                            "doc_id")
     packed = pack_sequences(

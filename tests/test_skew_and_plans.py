@@ -149,10 +149,14 @@ def test_exact_dedup_shuffles_hash_not_text(spark):
     assert "sha2" in plan
 
 
-def test_lsh_verify_prunes_before_pairwise_join(spark):
-    """VERDICT r1 'What's wrong #1': the candidate semi-join must reach
-    the shingle table BEFORE the quadratic co-shingle join, so a popular
-    shingle among non-candidates can't explode the join."""
+def test_lsh_verify_has_no_pairwise_shingle_join(spark):
+    """VERDICT r1 'What's wrong #1', tightened in round 5: the verify
+    path must not contain a shingle equi-join AT ALL — a shingle shared
+    by m candidate docs would cost m^2 join rows no matter which pairs
+    LSH proposed (measured quadratic at 250k->500k docs).  Candidates
+    are scored by row-local array_intersect instead; the only joins are
+    on doc ids, and non-candidate docs are semi-join-pruned before any
+    shingling happens."""
     from lynxkite_spark.functions.dedup import ngram_jaccard_pairs
 
     docs = spark.createDataFrame(
@@ -160,10 +164,24 @@ def test_lsh_verify_prunes_before_pairwise_join(spark):
         "doc_id long, text string",
     )
     cand = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
-    out = ngram_jaccard_pairs(docs, candidates=cand)
-    plan = out._jdf.queryExecution().optimizedPlan().toString()
-    # two semi-joins: doc-id pruning (below the pairwise join) + pair filter
-    assert plan.count("LeftSemi") >= 2
+    # materialize() (eager localCheckpoint) would cut the semi-join out
+    # of the inspectable plan — replace it with identity for the plan
+    # assertions (results unaffected: materialize is a no-op semantically)
+    import lynxkite_spark.plans.checkpoint as ckpt
+
+    orig = ckpt.materialize
+    ckpt.materialize = lambda df: df
+    try:
+        out = ngram_jaccard_pairs(docs, candidates=cand)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        ckpt.materialize = orig
+    # doc-id pruning semi-join sits below the shingling projection
+    assert plan.count("LeftSemi") >= 1
+    # the intersection is computed per pair, not via a shingle equi-join
+    assert "array_intersect" in plan
+    # no join keyed on a shingle column anywhere in the plan
+    assert "Join Inner, (sh#" not in plan and "(sh = sh)" not in plan
     # and the result is still correct: only candidate pairs scored
     rows = {(r["a"], r["b"]) for r in out.collect()}
     assert rows <= {(1, 2), (3, 4)}

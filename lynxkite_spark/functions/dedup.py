@@ -91,15 +91,40 @@ def minhash_signatures(
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: h_i = min over shingles of
-    hash(shingle, i). Computed columnar: explode shingles once,
-    aggregate all num_hashes minima in one groupBy pass.
+    hash_i(shingle). Computed row-locally: one ``transform`` per hash
+    function over the per-doc distinct shingle array + ``array_min`` —
+    a map-only plan with ZERO shuffle. The explode + 64-way-min groupBy
+    it replaces shuffled one row per (doc, shingle): corpus-sized
+    exchange at any scale, ~50M rows at 1M docs.
+
+    The default (xxhash64) hash family is two-level: each shingle
+    STRING is hashed once to a 64-bit base, and hash_i = xxhash64(base,
+    i) rehashes only the fixed-width long — 64x fewer variable-length
+    string hashes per doc, an independent family up to the 2^-64 base
+    collision. ``hash_fn="portable"`` keeps the md5-derived per-(shingle,
+    i) values bit-exactly (the DuckDB gate oracle replays that path).
     Returns DataFrame[<id>, sig: array<bigint>]."""
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh")
-    )
-    mins = [F.min(_hash64(F.col("sh"), i, hash_fn)).alias(f"h{i}") for i in range(num_hashes)]
-    agg = sh.groupBy(id_col).agg(*mins)
-    return agg.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    shs = word_shingles(F.col(text_col), shingle_k)
+    if hash_fn == "portable":
+        shingled = df.select(F.col(id_col), shs.alias("_hs"))
+        sig = F.array(
+            *[
+                F.array_min(F.transform("_hs", lambda s: _hash64(s, i, hash_fn)))
+                for i in range(num_hashes)
+            ]
+        )
+    else:
+        shingled = df.select(
+            F.col(id_col),
+            F.transform(shs, lambda s: F.xxhash64(s)).alias("_hs"),
+        )
+        sig = F.array(
+            *[
+                F.array_min(F.transform("_hs", lambda h: F.xxhash64(h, F.lit(i))))
+                for i in range(num_hashes)
+            ]
+        )
+    return shingled.select(id_col, sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -355,27 +380,37 @@ def simhash(
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash: per bit, sign of Σ over features of (±1 by feature-hash
-    bit). Columnar: explode shingles, per-bit conditional sums in one
-    aggregation. Returns DataFrame[<id>, simhash: bigint].
+    bit). Computed row-locally: hash the per-doc distinct shingle array
+    once with ``transform``, then one ``aggregate`` per bit — a map-only
+    plan with ZERO shuffle (the explode + 64-conditional-sum groupBy it
+    replaces exchanged one 65-column row per doc — a corpus-sized
+    shuffle). Same per-feature hashes and sums, so signatures are
+    bit-identical. Returns DataFrame[<id>, simhash: bigint].
 
     ``hash_fn="portable"`` yields a 60-bit feature hash (bits 60+ of the
     signature are then always 0) — use bits=60 with it."""
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh")
-    ).withColumn("h", _hash64(F.col("sh"), 0, hash_fn))
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            word_shingles(F.col(text_col), shingle_k),
+            lambda s: _hash64(s, 0, hash_fn),
+        ).alias("_hs"),
+    )
     one = F.lit(1).cast("long")
-    bit_sums = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    agg = sh.groupBy(id_col).agg(*bit_sums)
+
+    def bit_sum(i: int) -> Column:
+        return F.aggregate(
+            "_hs",
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.shiftleft(one, i)) != 0, 1).otherwise(-1),
+        )
+
     sig = None
     for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
+        bit = F.when(bit_sum(i) > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig.bitwiseOR(bit)
-    return agg.select(id_col, sig.alias("simhash"))
+    return hashed.select(id_col, sig.alias("simhash"))
 
 
 def simhash_duplicates(

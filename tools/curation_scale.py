@@ -242,13 +242,19 @@ def main():
             "--update-baseline`, local[32], event-log-attributed shuffle "
             "bytes per stage):\n\n"
             f"{table}\n\n"
-            "Reading the table against the 100 TB claims: the three "
-            "map-only stages (gopher_quality, c4_line_filter, mask_pii) "
-            "write ~0 shuffle bytes — their cost is the scan, so they "
-            "survive any scale the scan survives. exact_dedup shuffles "
-            "32-byte digests, never text. minhash/simhash shuffle "
-            "fixed-width signatures (plus banded candidate pairs for "
-            "minhash). decontaminate's shuffle tracks the benchmark-gram "
+            "Reading the table against the 100 TB claims: simhash and "
+            "the three curation filters (gopher_quality, c4_line_filter, "
+            "mask_pii) are map-only — ~0 shuffle bytes; their cost is "
+            "the scan, so they survive any scale the scan survives. "
+            "exact_dedup shuffles 32-byte digests, never text. minhash "
+            "signatures are likewise computed row-locally (zero "
+            "shuffle); what minhash_dedup shuffles is the banded bucket "
+            "keys, the LSH candidate pairs, and one fixed-width "
+            "8-byte-per-shingle hash array per candidate doc for the "
+            "per-pair array_intersect verify — nothing corpus-sized and "
+            "nothing quadratic (the old shingle self-join verify "
+            "measured 52M->206M join rows from 250k->500k docs). "
+            "decontaminate's shuffle tracks the benchmark-gram "
             "matches, not the corpus. stratified_sample is a map-side "
             "hash draw; its shuffle is the output materialization only. "
             "pack_sequences shuffles one (id, n_tokens) row per doc to "

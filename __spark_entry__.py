@@ -60,6 +60,7 @@ from lynxkite_spark.operators.structure import (
 from lynxkite_spark.functions.dedup import (
     exact_duplicates,
     minhash_dedup,
+    near_duplicate_clusters,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -1710,6 +1711,17 @@ def _q_docs_minhash(spark, sf_dir):
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_docs_dedup_clusters(spark, sf_dir):
+    # minhash pairs (portable hash, oracle-replayable) -> connected
+    # components over the pair graph -> cluster keeper per doc; the
+    # DuckDB oracle replays the pair pipeline and closes it with a
+    # recursive reachability CTE
+    d = _t(spark, sf_dir, "documents")
+    return near_duplicate_clusters(
+        d, num_hashes=32, bands=8, threshold=0.5, hash_fn="portable"
+    )
+
+
 def _q_docs_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"), bits=60, hash_fn="portable")
 
@@ -1924,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- LLM-data-pipeline family (first-class per the brief) --
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_minhash_dedup": _q_docs_minhash,
+        "docs_dedup_clusters": _q_docs_dedup_clusters,
         "docs_simhash": _q_docs_simhash,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "docs_token_count": _q_docs_token_count,
@@ -1933,7 +1946,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window so the driver verifies the hash parity officially
         "docs_text_embedding": _q_docs_text_embedding,
         "docs_fingerprint": _q_docs_fingerprint,
-        "docs_source_stats": _q_docs_source_stats,
         "embeddings_cosine_topk": _q_emb_topk,
         "embeddings_ann_lsh": _q_emb_ann,
         "embeddings_label_stats": _q_emb_label_stats,
@@ -2014,6 +2026,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # history
         "docs_language_confusion": _q_docs_lang_confusion,
         "events_hourly_counts": _q_events_hourly,
+        # demoted in round 5 (second swap) to make room for the new
+        # docs_dedup_clusters gate (officially green r2-r4; per-source
+        # text-stats coverage stays in-window via docs_fingerprint /
+        # docs_quality_score / docs_token_count) — recorded in
+        # COVERAGE.md's gate-window history
+        "docs_source_stats": _q_docs_source_stats,
     }
 
 
@@ -2168,6 +2186,24 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_oracle_sql(24),
         "graph_katz_3iter": _katz_oracle_sql(3, 0.05, 1.0),
         "docs_minhash_dedup": _minhash_oracle_sql(32, 8, 0.5, 3),
+        # pair pipeline replayed verbatim, closed with a recursive
+        # reachability CTE (the same oracle shape as graph_components)
+        "docs_dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_minhash_oracle_sql(32, 8, 0.5, 3)}),
+            e AS (
+              SELECT a AS src, b AS dst FROM pairs
+              UNION ALL
+              SELECT b AS src, a AS dst FROM pairs
+            ),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.id
+            )
+            SELECT id AS doc_id, min(r) AS cluster,
+                   (id <> min(r)) AS is_duplicate
+            FROM reach GROUP BY id
+        """,
         "docs_simhash": _simhash_oracle_sql(60, 2),
         "embeddings_ann_lsh": _ann_oracle_sql(6, 64, 42, 3),
         "docs_text_embedding": _text_embedding_oracle_sql(16),

@@ -371,6 +371,45 @@ def ngram_jaccard_pairs(
     return scored.where(F.col("jaccard") >= threshold)
 
 
+def near_duplicate_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
+    **minhash_kw,
+) -> DataFrame:
+    """Group near-duplicates into clusters: LSH pairs → connected
+    components over the pair graph → cluster = min doc id in the
+    component; everything but the keeper is flagged duplicate.
+
+    This is the composed step real dedup pipelines need — a pair list
+    alone doesn't say which doc to keep when A~B and B~C but A≁C; the
+    transitive closure does. Mirrors the reference's pattern of feeding
+    similarity edges into FindConnectedComponents (ConnectedComponents
+    is the dedup-grouping primitive there too).
+
+    ``pairs`` reuses already-scored pairs DataFrame[a, b, ...];
+    otherwise :func:`minhash_dedup` computes them with ``minhash_kw``.
+    Scale shape: everything heavy is the LSH pipeline; components run on
+    the pair graph, which is |near-dup pairs|-sized, not corpus-sized
+    (alternating large/small-star contraction, logarithmic rounds).
+    Returns DataFrame[<id>, cluster, is_duplicate] — total over docs
+    (singletons are their own cluster)."""
+    from lynxkite_spark.graph import Graph
+    from lynxkite_spark.operators.components import connected_components
+
+    if pairs is None:
+        pairs = minhash_dedup(df, text_col, id_col, **minhash_kw)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    vertices = df.select(F.col(id_col).alias("id"))
+    belongs = connected_components(Graph(vertices, edges))
+    return belongs.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster"),
+        (F.col("id") != F.col("component")).alias("is_duplicate"),
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -168,6 +168,51 @@ def test_simhash(spark):
     assert dup == {1: False, 2: True, 3: False}
 
 
+def test_near_duplicate_clusters_transitive_closure(spark):
+    """Pairs A~B and B~C without A~C must still land A,B,C in ONE
+    cluster with min-id keeper; singletons keep their own id."""
+    from lynxkite_spark.functions.dedup import near_duplicate_clusters
+
+    docs = spark.createDataFrame(
+        [(10, "x"), (11, "x"), (12, "x"), (30, "y"), (31, "y"), (50, "z")],
+        "doc_id long, text string",
+    )
+    # hand-made chain: 10~11, 11~12 (no 10~12 pair) + isolated pair 30~31
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (30, 31)], "a long, b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster"], r["is_duplicate"])
+        for r in near_duplicate_clusters(docs, pairs=pairs).collect()
+    }
+    assert got == {
+        10: (10, False),
+        11: (10, True),
+        12: (10, True),
+        30: (30, False),
+        31: (30, True),
+        50: (50, False),
+    }
+
+    # end-to-end through minhash: the two identical texts cluster, the
+    # outlier stays a singleton keeper
+    docs2 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "the quick brown fox jumps over the lazy dog again today"),
+            (3, "completely different words describing unrelated things"),
+        ],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r["doc_id"]: (r["cluster"], r["is_duplicate"])
+        for r in near_duplicate_clusters(
+            docs2, num_hashes=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert got2 == {1: (1, False), 2: (1, True), 3: (3, False)}
+
+
 def test_brute_force_topk_self_consistent(spark, embs):
     queries = embs.where(F.col("vec_id") < 3)
     out = brute_force_topk(embs, queries, k=5)

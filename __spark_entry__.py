@@ -1583,6 +1583,60 @@ def _q_docs_mask_pii(spark, sf_dir):
     )
 
 
+_QC_MODEL_CACHE: dict | None = None
+
+
+def _qc_model() -> dict:
+    """Gate-query weights for the fastText-style quality classifier:
+    trained driver-side by the numpy twin (pure Python, no Spark — so
+    the oracle generator can call it too) on the deterministic
+    synthetic labeled set, then applied by BOTH engines with identical
+    integer arithmetic. n_buckets=256 keeps the inlined oracle weight
+    literal compact; the full-size distributed trainer is
+    pytest-verified bit-identical to this twin
+    (tests/test_quality_classifier.py)."""
+    global _QC_MODEL_CACHE
+    if _QC_MODEL_CACHE is None:
+        from lynxkite_spark.functions.quality_classifier import (
+            synthetic_quality_training_set,
+            train_numpy,
+        )
+
+        texts, labels = synthetic_quality_training_set()
+        _QC_MODEL_CACHE = train_numpy(
+            texts, labels, n_buckets=256, iterations=30, lr=1.0
+        )
+    return _QC_MODEL_CACHE
+
+
+def _q_docs_quality_classifier(spark, sf_dir):
+    """FastText-style learned quality filter (CCNet, Wenzek et al. 2020
+    §4.4 / GPT-3, Brown et al. 2020 Appendix A; beyond the reference —
+    its curation story ends at dedup): a linear model over hashed
+    unigram+bigram buckets, trained by the deterministic numpy twin and
+    applied MAP-ONLY — the quantized weight vector is a plan literal,
+    the per-doc dot product an integer fold in codegen, zero shuffle.
+    ``keep`` at threshold 0.5 is the exact integer test score_q > 0
+    (logit(0.5) = 0), so the DuckDB oracle replays every value
+    bit-for-bit."""
+    from lynxkite_spark.functions.quality_classifier import score_quality
+
+    d = _t(spark, sf_dir, "documents")
+    return score_quality(d, _qc_model(), portable=True).select(
+        "doc_id", "n_grams", "score_q", "keep"
+    )
+
+
+def _qc_oracle_sql() -> str:
+    from lynxkite_spark.functions.quality_classifier import score_quality_sql
+
+    return f"""
+        SELECT doc_id, n_grams, score_q, score_q > 0 AS keep FROM (
+          SELECT doc_id, {score_quality_sql(_qc_model())} FROM documents
+        )
+    """
+
+
 def _q_docs_text_embedding(spark, sf_dir):
     """TextEmbedding stand-in as a gate query: deterministic hashed
     n-gram + Rademacher-projection embeddings over the documents table
@@ -1955,7 +2009,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_neighborhood_function": _q_neighborhood_function,
         "graph_max_cliques": _q_max_cliques,
         # -- streaming / events --
-        "events_sessionize": _q_sessionize,
         "events_segment_by_sequence": _q_segment_event_sequence,
         # -- graph metrics & transforms --
         "graph_clustering_coefficient": _q_clustering,
@@ -1989,6 +2042,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_domain_mix_plan": _q_docs_domain_mix_plan,
         "docs_c4_line_filter": _q_docs_c4_line_filter,
         "docs_mask_pii": _q_docs_mask_pii,
+        # new in round 5: fastText-style learned quality filter (CCNet /
+        # GPT-3-shape) — new queries go inside the window
+        "docs_quality_classifier": _q_docs_quality_classifier,
         # ==== driver window boundary is position 50; everything below
         # ==== was officially green in CORRECTNESS_r02 or r03 and stays
         # ==== continuously verified by tests/test_tail_oracles.py
@@ -2032,6 +2088,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # docs_quality_score / docs_token_count) — recorded in
         # COVERAGE.md's gate-window history
         "docs_source_stats": _q_docs_source_stats,
+        # demoted in round 5 (third swap) to make room for the new
+        # docs_quality_classifier gate (officially green r2-r4; events
+        # coverage stays in-window via events_segment_by_sequence and
+        # events_json_props) — recorded in COVERAGE.md's gate-window
+        # history
+        "events_sessionize": _q_sessionize,
     }
 
 
@@ -2622,6 +2684,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack_sequences": _pack_sequences_oracle_sql(),
         "docs_c4_line_filter": _c4_oracle_sql(),
         "docs_mask_pii": _mask_pii_oracle_sql(),
+        "docs_quality_classifier": _qc_oracle_sql(),
         "docs_domain_mix_plan": """
             WITH avail AS (
               SELECT source, CAST(sum(n_chars) AS DOUBLE) AS available

@@ -1,0 +1,398 @@
+"""FastText-style linear quality classifier over hashed n-gram features.
+
+Beyond-the-reference LLM-pipeline operator (the reference's curation
+story ends at dedup/fingerprinting — there is no learned quality filter
+anywhere in its operator set). Every production pretraining pipeline
+has one: CCNet (Wenzek et al. 2020, §4.4) and GPT-3 (Brown et al. 2020,
+Appendix A) filter raw crawl with a linear classifier trained to
+separate a trusted corpus from unfiltered text, and fastText (Joulin et
+al. 2017, "Bag of Tricks for Efficient Text Classification") is the
+standard implementation shape: a linear model over hashed n-gram
+features. This module is that classifier, Spark-first:
+
+* **features**: :func:`lynxkite_spark.functions.curation.hashed_ngram_buckets`
+  — row-local hashed unigram+bigram occurrence lists; zero shuffle.
+* **training**: distributed full-batch logistic regression. Per
+  iteration: ONE map-only pass computes each document's integer
+  error ticks (sigmoid stays in numpy inside an Arrow ``pandas_udf``
+  so the distributed trainer is BIT-IDENTICAL to its numpy twin,
+  :func:`train_numpy`), then ONE map-side-combinable explode+sum
+  shuffles at most ``n_buckets + 1`` gradient rows to the driver. The
+  weight vector lives on the driver between iterations — the classic
+  parameter-server shape — and the per-iteration collect is bounded by
+  the bucket count, never the corpus.
+* **scoring** (the corpus-scale path): map-only. The quantized weight
+  array ships as a plan literal; the per-document dot product is an
+  integer fold (``F.aggregate`` + ``element_at``) in whole-stage
+  codegen — no shuffle, no Python. At the default threshold 0.5,
+  ``keep`` is the pure integer comparison ``score_q > 0``
+  (logit(0.5) = 0), which is what lets the DuckDB gate oracle replay
+  it exactly.
+
+Determinism contract: every cross-document sum is over BIGINT ticks
+(``e_q = rint((p - y) / n * QSCALE)``), so gradients are exact integer
+sums — association-order free, identical under any partitioning or
+executor count. The only float arithmetic (z, sigmoid, the tick
+rounding itself) is per-document and shared verbatim between the
+distributed trainer and the numpy twin via :func:`_err_ticks`.
+
+100 TB shape: training runs on a labeled SAMPLE (CCNet trains on ~1M
+docs); scoring is the path that sees the full corpus and it is a
+single map-only stage. Per-iteration training cost is two passes over
+the sample: one codegen'd integer fold + one Arrow batch per
+partition, then a <= (n_buckets+1)-row shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from .curation import hashed_ngram_buckets
+
+QSCALE = 1_000_000  # integer ticks: 1e-6 resolution in weight/error space
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python featurizer twin (gate-weight training + exactness tests).
+
+def py_buckets(
+    text: str | None, n_buckets: int = 4096, ns: tuple[int, ...] = (1, 2)
+) -> list[int]:
+    """Pure-Python twin of ``hashed_ngram_buckets(..., portable=True)``.
+
+    ASCII inputs only (Java ``\\s+``, Python ``\\s+`` and RE2 agree
+    there) — the synthetic training corpus is ASCII by construction.
+    Matches the Spark side gram-for-gram: lowercased whitespace words,
+    per-n concatenated occurrence lists, 60-bit md5 hash mod buckets.
+    """
+    t = (text or "").strip()
+    words = [w.lower() for w in re.split(r"\s+", t)] if t else []
+    out: list[int] = []
+    for n in ns:
+        for i in range(len(words) - n + 1):
+            gram = " ".join(words[i : i + n])
+            h = int(hashlib.md5((gram + "|0").encode()).hexdigest()[:15], 16)
+            out.append(h % n_buckets)
+    return out
+
+
+def _err_ticks(
+    sdot: np.ndarray, n: np.ndarray, y: np.ndarray, bias_q: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-document quantized error ticks — the ONLY float arithmetic in
+    training, shared verbatim by the numpy twin and the Arrow UDF so the
+    two trainers agree bit-for-bit.
+
+    z uses the same integer numerator the scorer exposes
+    (``bias_q * max(n,1) + sdot``) over ``max(n,1) * QSCALE``; the
+    per-gram tick divides the error by n so a document's total gradient
+    mass is independent of its length (fastText's mean-of-features
+    normalization)."""
+    n_eff = np.maximum(n, 1).astype(np.float64)
+    z = (bias_q * n_eff + sdot) / (n_eff * float(QSCALE))
+    p = 1.0 / (1.0 + np.exp(-z))
+    err = p - y
+    e_q = np.rint(err / n_eff * QSCALE).astype(np.int64)
+    eb_q = np.rint(err * QSCALE).astype(np.int64)
+    return e_q, eb_q
+
+
+def train_numpy(
+    texts: list[str],
+    labels: list[int],
+    n_buckets: int = 4096,
+    ns: tuple[int, ...] = (1, 2),
+    iterations: int = 30,
+    lr: float = 1.0,
+) -> dict:
+    """Single-process twin of :func:`train_quality_classifier` (portable
+    hashing). Same update rule, same quantization, same rounding mode
+    (np.rint everywhere) — the distributed trainer must reproduce its
+    output EXACTLY; pytest asserts it. Also used to bake the gate-query
+    weights driver-side (no Spark at oracle-generation time), the same
+    move as the text-embedding and ANN-hyperplane oracles."""
+    n_docs = len(texts)
+    counts = np.zeros((n_docs, n_buckets), dtype=np.int64)
+    for i, t in enumerate(texts):
+        for b in py_buckets(t, n_buckets, ns):
+            counts[i, b] += 1
+    y = np.asarray(labels, dtype=np.float64)
+    n = counts.sum(axis=1)
+    w = np.zeros(n_buckets, dtype=np.float64)
+    bias = 0.0
+    for _ in range(iterations):
+        w_q = np.rint(w * QSCALE).astype(np.int64)
+        b_q = int(np.rint(bias * QSCALE))
+        sdot = counts @ w_q  # exact int64
+        e_q, eb_q = _err_ticks(sdot, n, y, b_q)
+        grad = counts.T @ e_q  # exact int64
+        w = w - lr * grad / (QSCALE * float(n_docs))
+        bias = bias - lr * int(eb_q.sum()) / (QSCALE * float(n_docs))
+    return {
+        "weights_q": np.rint(w * QSCALE).astype(np.int64).tolist(),
+        "bias_q": int(np.rint(bias * QSCALE)),
+        "n_buckets": n_buckets,
+        "ns": list(ns),
+        "iterations": iterations,
+        "lr": lr,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Distributed trainer.
+
+_ERR_SCHEMA = StructType(
+    [StructField("e_q", LongType()), StructField("eb_q", LongType())]
+)
+
+
+@F.pandas_udf(_ERR_SCHEMA)
+def _err_udf(
+    sdot: pd.Series, n: pd.Series, y: pd.Series, bias_q: pd.Series
+) -> pd.DataFrame:
+    e_q, eb_q = _err_ticks(
+        sdot.to_numpy(np.int64),
+        n.to_numpy(np.int64),
+        y.to_numpy(np.float64),
+        int(bias_q.iloc[0]),
+    )
+    return pd.DataFrame({"e_q": e_q, "eb_q": eb_q})
+
+
+def _weight_array(w_q: np.ndarray) -> Column:
+    """The quantized weight vector as ONE array<bigint> plan literal —
+    broadcast to every task with the serialized plan, no join."""
+    return F.lit([int(x) for x in w_q])
+
+
+def _int_dot(buckets: Column, warr: Column) -> Column:
+    """Integer fold: sum of weight ticks over bucket occurrences. Stays
+    in whole-stage codegen (aggregate + element_at), exact BIGINT."""
+    return F.aggregate(
+        buckets,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.element_at(warr, x + F.lit(1)),
+    )
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    ns: tuple[int, ...] = (1, 2),
+    iterations: int = 30,
+    lr: float = 1.0,
+    portable: bool = False,
+) -> dict:
+    """Distributed full-batch logistic regression on hashed n-gram
+    features. Returns the same model dict as :func:`train_numpy` — and,
+    when ``portable=True``, the same VALUES exactly (pytest-enforced):
+    all cross-document reductions are BIGINT tick sums, so the result
+    is invariant to partitioning and executor count.
+
+    Per-iteration plan: map-only integer fold + Arrow error UDF, then
+    explode to (bucket, tick) pairs — bias rides along as bucket -1 —
+    and a map-side-combinable sum into <= n_buckets + 1 rows collected
+    to the driver. The labeled sample is featurized once and cached."""
+    feat = docs.select(
+        F.col(label_col).cast("double").alias("_y"),
+        hashed_ngram_buckets(
+            F.coalesce(F.col(text_col), F.lit("")), n_buckets, ns, portable
+        ).alias("_bk"),
+    ).persist()
+    n_docs = feat.count()
+    if n_docs == 0:
+        feat.unpersist()
+        raise ValueError("train_quality_classifier: empty training set")
+    w = np.zeros(n_buckets, dtype=np.float64)
+    bias = 0.0
+    try:
+        for _ in range(iterations):
+            w_q = np.rint(w * QSCALE).astype(np.int64)
+            b_q = int(np.rint(bias * QSCALE))
+            per = feat.select(
+                "_y",
+                "_bk",
+                F.size("_bk").cast("long").alias("_n"),
+                _int_dot(F.col("_bk"), _weight_array(w_q)).alias("_sdot"),
+            ).withColumn(
+                "_e", _err_udf(F.col("_sdot"), F.col("_n"), F.col("_y"), F.lit(b_q))
+            )
+            pairs = per.select(
+                F.explode(
+                    F.concat(
+                        F.transform(
+                            "_bk",
+                            lambda bk: F.struct(
+                                bk.cast("int").alias("b"),
+                                F.col("_e.e_q").alias("g"),
+                            ),
+                        ),
+                        F.array(
+                            F.struct(
+                                F.lit(-1).alias("b"), F.col("_e.eb_q").alias("g")
+                            )
+                        ),
+                    )
+                ).alias("p")
+            )
+            rows = (
+                pairs.groupBy(F.col("p.b").alias("b"))
+                .agg(F.sum("p.g").alias("g"))
+                .collect()  # bounded: <= n_buckets + 1 rows by construction
+            )
+            grad = np.zeros(n_buckets, dtype=np.int64)
+            grad_b = 0
+            for r in rows:
+                if r["b"] == -1:
+                    grad_b = r["g"]
+                else:
+                    grad[r["b"]] = r["g"]
+            w = w - lr * grad / (QSCALE * float(n_docs))
+            bias = bias - lr * grad_b / (QSCALE * float(n_docs))
+    finally:
+        feat.unpersist()
+    return {
+        "weights_q": np.rint(w * QSCALE).astype(np.int64).tolist(),
+        "bias_q": int(np.rint(bias * QSCALE)),
+        "n_buckets": n_buckets,
+        "ns": list(ns),
+        "iterations": iterations,
+        "lr": lr,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Corpus-scale scorer (map-only).
+
+def score_quality(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """Score every document with a trained model: appends ``n_grams``
+    (BIGINT), ``score_q`` (BIGINT — the exact integer logit numerator
+    ``bias_q * max(n,1) + sum(w_q[bucket])``), ``quality_prob``
+    (DOUBLE sigmoid) and ``keep`` (BOOLEAN). Map-only, zero shuffle, no
+    Python — the weight array is a plan literal and the dot product an
+    integer fold in codegen; this is the stage the 100 TB corpus flows
+    through.
+
+    Re-runnable on its own output (ADVICE r4 on mask_pii): pre-existing
+    output columns are dropped first. At ``threshold=0.5`` keep is the
+    integer test ``score_q > 0``; other thresholds compare the double
+    ``z`` to ``logit(threshold)``."""
+    out_cols = ("n_grams", "score_q", "quality_prob", "keep")
+    base = df.drop(*[c for c in out_cols if c in df.columns])
+    warr = _weight_array(np.asarray(model["weights_q"], dtype=np.int64))
+    b_q = int(model["bias_q"])
+    bk = hashed_ngram_buckets(
+        F.coalesce(F.col(text_col), F.lit("")),
+        int(model["n_buckets"]),
+        tuple(model["ns"]),
+        portable,
+    )
+    with_bk = base.withColumn("_bk", bk)
+    n = F.size("_bk").cast("long")
+    n_eff = F.greatest(n, F.lit(1).cast("long"))
+    score_q = (F.lit(b_q) * n_eff + _int_dot(F.col("_bk"), warr)).cast("long")
+    z = score_q.cast("double") / (n_eff.cast("double") * F.lit(float(QSCALE)))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    if threshold == 0.5:
+        keep = score_q > F.lit(0)
+    else:
+        logit = float(np.log(threshold / (1.0 - threshold)))
+        keep = z > F.lit(logit)
+    return with_bk.select(
+        *base.columns,
+        n.alias("n_grams"),
+        score_q.alias("score_q"),
+        prob.alias("quality_prob"),
+        keep.alias("keep"),
+    )
+
+
+def score_quality_sql(
+    model: dict, text_expr: str = "coalesce(text,'')"
+) -> str:
+    """DuckDB twin of the integer columns of :func:`score_quality`
+    (portable hashing, threshold 0.5) — SELECT fragment producing
+    ``n_grams``, ``score_q``, ``keep`` from a relation with the
+    document text. The weight vector inlines as a list literal; the
+    fold is ``list_sum(list_transform(...))`` over BIGINTs, the same
+    exact integer arithmetic as the Spark fold."""
+    from .curation import hashed_ngram_buckets_sql
+
+    warr = "[" + ",".join(str(int(x)) for x in model["weights_q"]) + "]"
+    bk = hashed_ngram_buckets_sql(
+        int(model["n_buckets"]), tuple(model["ns"]), text_expr
+    )
+    b_q = int(model["bias_q"])
+    return (
+        f"CAST(len({bk}) AS BIGINT) AS n_grams, "
+        f"CAST({b_q} * greatest(len({bk}), 1) + coalesce(list_sum("
+        f"list_transform({bk}, x -> ({warr})[x + 1])), 0) AS BIGINT) AS score_q"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic labeled corpus for tests and the gate-query weights.
+
+def synthetic_quality_training_set() -> tuple[list[str], list[int]]:
+    """Deterministic ASCII labeled set: clean English-like sentences
+    (label 1) vs spam shapes — keyword stuffing, token repetition,
+    symbol soup (label 0). No RNG: composition is modular arithmetic
+    over small vocab lists, so every engine and every run sees the
+    identical corpus."""
+    subjects = ["the committee", "a recent study", "the museum", "our team",
+                "the river", "this method", "the author", "a local school"]
+    verbs = ["published", "examined", "restored", "measured", "described",
+             "organized", "documented", "compared"]
+    objects = ["a detailed report on regional history",
+               "the effects of rainfall on harvest yields",
+               "an archive of early photographs",
+               "changes in water quality over a decade",
+               "the structure of the old bridge",
+               "a series of public lectures",
+               "improvements to the local library",
+               "patterns in seasonal migration"]
+    tails = ["last year", "in the spring", "with careful methods",
+             "for the town council", "despite limited funding",
+             "over several months", "with community support",
+             "after a long review"]
+    pos = []
+    for i in range(48):
+        pos.append(
+            f"{subjects[i % 8]} {verbs[(i // 2) % 8]} "
+            f"{objects[(i // 3) % 8]} {tails[(i * 5) % 8]}."
+        )
+    spam_words = ["cheap", "buy", "click", "free", "winner", "pills",
+                  "casino", "bonus"]
+    pos_len = len(pos)
+    neg = []
+    for i in range(pos_len):
+        kind = i % 4
+        if kind == 0:  # token repetition
+            w = spam_words[i % 8]
+            neg.append(" ".join([w, "now"] * (4 + i % 5)))
+        elif kind == 1:  # keyword stuffing
+            neg.append(" ".join(spam_words[(i + j) % 8] for j in range(10)))
+        elif kind == 2:  # symbol soup
+            neg.append(f"$$$ {spam_words[i % 8]} !!! {spam_words[(i + 3) % 8]} "
+                       f"### www best {spam_words[(i + 5) % 8]} $$$")
+        else:  # shouty fragments
+            neg.append(f"{spam_words[i % 8].upper()} {spam_words[(i + 1) % 8].upper()} "
+                       f"100% GUARANTEED {i} {i} {i}")
+    texts = pos + neg
+    labels = [1] * len(pos) + [0] * len(neg)
+    return texts, labels

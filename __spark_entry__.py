@@ -1407,6 +1407,82 @@ def _q_docs_gopher_quality(spark, sf_dir):
     )
 
 
+def _q_docs_gopher_repetition(spark, sf_dir):
+    """Gopher A1.2 n-gram repetition rules (Rae et al. 2021, Table A1)
+    — the REAL top-{2,3,4}-gram and duplicate-{5..10}-gram character
+    fractions that round 4's top_word_frac proxied
+    (lynxkite_spark.functions.curation.gopher_repetition_flags). All
+    nine metrics are row-local sort+fold passes over the word array:
+    pure map, zero shuffle. Fractions are exact-integer ratios divided
+    once, so the doubles are bit-identical across engines and ship
+    unrounded; the oracle replays them relationally (unnest + GROUP BY
+    per n)."""
+    from lynxkite_spark.functions.curation import gopher_repetition_flags
+
+    d = _t(spark, sf_dir, "documents")
+    out = gopher_repetition_flags(d)
+    return out.select(
+        "doc_id",
+        *[f"top_{n}gram_char_frac" for n in (2, 3, 4)],
+        *[f"dup_{n}gram_char_frac" for n in range(5, 11)],
+        "rep_keep",
+    )
+
+
+def _gopher_repetition_oracle_sql() -> str:
+    """DuckDB twin of gopher_repetition_flags: per n, unnest the n-gram
+    strings, GROUP BY (doc, gram) for counts, then
+    top = max(count*len) and dup = sum((count-1)*len) — the same exact
+    integers the Spark sort+fold computes, divided by the same
+    doc_chars."""
+    from lynxkite_spark.functions.curation import GOPHER_REPETITION_DEFAULTS
+
+    wl = (
+        "CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[] ELSE "
+        "list_transform(regexp_split_to_array(trim(coalesce(text,'')), "
+        "'\\s+'), x -> lower(x)) END"
+    )
+    grams = lambda n: (  # noqa: E731
+        f"list_transform(range(1, greatest(len(wl) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice(wl, i, i + {n - 1}), ' '))"
+    )
+    ctes = [
+        "w AS (SELECT doc_id, wl, greatest(length(array_to_string(wl, ' ')),"
+        f" 1) AS doc_chars FROM (SELECT doc_id, {wl} AS wl FROM documents))"
+    ]
+    joins, cols, keeps = [], [], []
+    p = GOPHER_REPETITION_DEFAULTS
+    for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
+        agg = (
+            # a most common n-gram occurring only once doesn't count
+            # (singleton-skip, mirroring the Spark fold)
+            "max(CASE WHEN cnt >= 2 THEN cnt * len ELSE 0 END)"
+            if n <= 4
+            else "sum((cnt - 1) * len)"
+        )
+        ctes.append(
+            f"g{n} AS (SELECT doc_id, {agg} AS v FROM ("
+            f"SELECT doc_id, g, count(*) AS cnt, length(g) AS len FROM ("
+            f"SELECT doc_id, unnest({grams(n)}) AS g FROM w) GROUP BY "
+            f"doc_id, g) GROUP BY doc_id)"
+        )
+        joins.append(f"LEFT JOIN g{n} ON w.doc_id = g{n}.doc_id")
+        name = (
+            f"top_{n}gram_char_frac" if n <= 4 else f"dup_{n}gram_char_frac"
+        )
+        expr = (
+            f"CAST(coalesce(g{n}.v, 0) AS DOUBLE) / CAST(doc_chars AS DOUBLE)"
+        )
+        cols.append(f"{expr} AS {name}")
+        keeps.append(f"{expr} <= CAST({p['max_' + name]!r} AS DOUBLE)")
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT w.doc_id, "
+        + ", ".join(cols)
+        + ", (" + " AND ".join(keeps) + ") AS rep_keep FROM w "
+        + " ".join(joins)
+    )
+
+
 def _q_docs_dsir_sample(spark, sf_dir):
     """DSIR importance resampling (Xie et al. 2023): hashed
     unigram+bigram bag models fit on a target slice (every 13th doc)
@@ -2008,8 +2084,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": _q_events_json_props,
         "graph_neighborhood_function": _q_neighborhood_function,
         "graph_max_cliques": _q_max_cliques,
-        # -- streaming / events --
-        "events_segment_by_sequence": _q_segment_event_sequence,
+        # -- streaming / events (sessionize + segment-by-sequence were
+        # demoted to the tail in round 5 once officially green;
+        # events_json_props keeps events coverage in-window) --
         # -- graph metrics & transforms --
         "graph_clustering_coefficient": _q_clustering,
         "graph_shortest_path": _q_shortest_path,
@@ -2033,6 +2110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_set_overlap_cc": _q_set_overlap_cc,
         # -- round-4 training-data curation family --
         "docs_gopher_quality": _q_docs_gopher_quality,
+        # new in round 5: the REAL Gopher A1.2 n-gram repetition rules
+        # (replaces the round-4 top_word_frac proxy) — in the window
+        "docs_gopher_repetition": _q_docs_gopher_repetition,
         # new in round 5 (DSIR importance resampling) — new queries go
         # inside the window per the gate-window policy
         "docs_dsir_sample": _q_docs_dsir_sample,
@@ -2094,6 +2174,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events_json_props) — recorded in COVERAGE.md's gate-window
         # history
         "events_sessionize": _q_sessionize,
+        # demoted in round 5 (fifth swap) to make room for the new
+        # docs_gopher_repetition gate (officially green r2-r4; events
+        # coverage stays in-window via events_json_props) — recorded in
+        # COVERAGE.md's gate-window history
+        "events_segment_by_sequence": _q_segment_event_sequence,
     }
 
 
@@ -2685,6 +2770,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_c4_line_filter": _c4_oracle_sql(),
         "docs_mask_pii": _mask_pii_oracle_sql(),
         "docs_quality_classifier": _qc_oracle_sql(),
+        "docs_gopher_repetition": _gopher_repetition_oracle_sql(),
         "docs_domain_mix_plan": """
             WITH avail AS (
               SELECT source, CAST(sum(n_chars) AS DOUBLE) AS available

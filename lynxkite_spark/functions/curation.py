@@ -193,6 +193,133 @@ def gopher_quality_flags(
     return out.withColumn("keep", keep)
 
 
+# -------------------------------------------- Gopher A1.2 n-gram repetition
+
+# Rae et al. 2021, Table A1: drop a document when the fraction of
+# characters in the most frequent {2,3,4}-gram exceeds {0.20, 0.18,
+# 0.16}, or the fraction of characters in duplicated {5..10}-grams
+# exceeds {0.15, 0.14, 0.13, 0.12, 0.11, 0.10}.
+GOPHER_REPETITION_DEFAULTS = dict(
+    max_top_2gram_char_frac=0.20,
+    max_top_3gram_char_frac=0.18,
+    max_top_4gram_char_frac=0.16,
+    max_dup_5gram_char_frac=0.15,
+    max_dup_6gram_char_frac=0.14,
+    max_dup_7gram_char_frac=0.13,
+    max_dup_8gram_char_frac=0.12,
+    max_dup_9gram_char_frac=0.11,
+    max_dup_10gram_char_frac=0.10,
+)
+
+
+def _gram_strings(w_lower: Column, n: int) -> Column:
+    """Word n-grams as STRINGS (char lengths matter here, unlike the
+    hashed decontamination/dedup path), row-local."""
+    count = F.size(w_lower) - F.lit(n - 1)
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(w_lower, i, n), " "))
+
+
+def _rep_chars(grams: Column) -> Column:
+    """(top_chars, dup_chars) over an n-gram string array, in ONE
+    row-local pass: sort the array, then fold with a
+    (prev, run, top, dup) accumulator —
+    ``top`` = max over runs with length ≥ 2 of run_length × len(gram)
+    (the characters covered by the most repetitious n-gram; a most
+    common n-gram occurring only ONCE does not count — otherwise every
+    short document fails on its own longest n-gram, so the standard
+    implementations skip singletons; ties by char mass, which both
+    engines replay identically), ``dup`` = Σ over grams with
+    count c ≥ 2 of (c-1) × len(gram) (characters in duplicate
+    occurrences beyond the first, the DataTrove-style non-overlapping
+    count). O(g log g) per row, zero shuffle."""
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(
+                acc["top"],
+                F.when(run >= 2, run * F.length(x)).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ).alias("top"),
+            (acc["dup"] + F.when(run >= 2, F.length(x)).otherwise(0)).alias(
+                "dup"
+            ),
+        )
+
+    return F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("top"),
+            F.lit(0).cast("long").alias("dup"),
+        ),
+        step,
+        lambda acc: F.struct(acc["top"].alias("top"), acc["dup"].alias("dup")),
+    )
+
+
+def gopher_repetition_flags(
+    df: DataFrame, text_col: str = "text", **thresholds
+) -> DataFrame:
+    """The REAL Gopher A1.2 n-gram repetition rules (Rae et al. 2021,
+    Table A1) — this replaces round 4's documented proxy
+    (``top_word_frac`` in :func:`gopher_quality_flags` approximated the
+    family with the most-frequent-word share).
+
+    Appends ``top_{2,3,4}gram_char_frac`` (characters in the most
+    repetitious n-gram / document characters; a most common n-gram
+    occurring only once doesn't count),
+    ``dup_{5..10}gram_char_frac`` (characters in duplicate n-gram
+    occurrences beyond the first / document characters — overlapping
+    n-grams count per occurrence, so this fraction can exceed 1 on
+    heavily looped text) and ``rep_keep``. Document characters = length of the lowercased
+    whitespace-normalized join (both engines compute it identically).
+
+    Scale shape: every metric is a row-local sort+fold over the word
+    array — a pure map, no shuffle, one codegen stage; the 100 TB cost
+    is the scan. Fractions are exact-integer ratios divided once at the
+    end, so the doubles are bit-identical across engines (the gate
+    oracle replays them relationally via unnest + GROUP BY)."""
+    p = dict(GOPHER_REPETITION_DEFAULTS, **thresholds)
+    out_cols = ["rep_keep"] + [f"top_{n}gram_char_frac" for n in (2, 3, 4)] + [
+        f"dup_{n}gram_char_frac" for n in range(5, 11)
+    ]
+    base = df.drop(*[c for c in out_cols if c in df.columns])
+    w_lower = F.transform(
+        _words(F.coalesce(F.col(text_col), F.lit(""))), lambda x: F.lower(x)
+    )
+    doc_chars = F.greatest(
+        F.length(F.array_join(w_lower, " ")), F.lit(1)
+    ).cast("double")
+    cols = []
+    keep = F.lit(True)
+    for n in (2, 3, 4):
+        frac = (
+            _rep_chars(_gram_strings(w_lower, n))["top"].cast("double")
+            / doc_chars
+        )
+        name = f"top_{n}gram_char_frac"
+        cols.append(frac.alias(name))
+        keep = keep & (frac <= p[f"max_{name}"])
+    for n in range(5, 11):
+        frac = (
+            _rep_chars(_gram_strings(w_lower, n))["dup"].cast("double")
+            / doc_chars
+        )
+        name = f"dup_{n}gram_char_frac"
+        cols.append(frac.alias(name))
+        keep = keep & (frac <= p[f"max_{name}"])
+    return base.select("*", *cols, keep.alias("rep_keep"))
+
+
 # ------------------------------------------------------- decontamination
 
 def ngram_hashes(col: Column, n: int, portable: bool = False) -> Column:

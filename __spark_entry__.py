@@ -1483,6 +1483,33 @@ def _gopher_repetition_oracle_sql() -> str:
     )
 
 
+def _q_docs_shard_plan(spark, sf_dir):
+    """Deterministic corpus shuffle into training shards
+    (lynxkite_spark.functions.curation.shard_assignments): shard =
+    hash(id, seed) mod 8, within-shard position = rank by (hash, id) —
+    a pure function of (id set, num_shards, seed), identical on any
+    cluster size (the reproducible shuffled order a pretraining loader
+    needs; beyond the reference, whose export story is plain
+    partitioned writes). One shuffle + per-shard local sorts, never a
+    global order-by."""
+    from lynxkite_spark.functions.curation import shard_assignments
+
+    d = _t(spark, sf_dir, "documents")
+    out = shard_assignments(d, num_shards=8, seed=3, portable=True)
+    return out.select("doc_id", "shard", "shard_pos")
+
+
+def _shard_plan_oracle_sql(num_shards: int = 8, seed: int = 3) -> str:
+    h = _phash_sql("doc_id", seed)
+    return f"""
+        SELECT doc_id, CAST(h % {num_shards} AS INT) AS shard,
+               CAST(row_number() OVER (
+                 PARTITION BY h % {num_shards} ORDER BY h, doc_id
+               ) - 1 AS BIGINT) AS shard_pos
+        FROM (SELECT doc_id, {h} AS h FROM documents)
+    """
+
+
 def _q_docs_dsir_sample(spark, sf_dir):
     """DSIR importance resampling (Xie et al. 2023): hashed
     unigram+bigram bag models fit on a target slice (every 13th doc)
@@ -2082,7 +2109,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_elementwise_avg": _q_emb_elementwise_avg,
         # -- formerly hash-failed (HUGEINT oracle bug) / newly oracled --
         "events_json_props": _q_events_json_props,
-        "graph_neighborhood_function": _q_neighborhood_function,
         "graph_max_cliques": _q_max_cliques,
         # -- streaming / events (sessionize + segment-by-sequence were
         # demoted to the tail in round 5 once officially green;
@@ -2125,6 +2151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5: fastText-style learned quality filter (CCNet /
         # GPT-3-shape) — new queries go inside the window
         "docs_quality_classifier": _q_docs_quality_classifier,
+        # new in round 5: deterministic corpus shuffle + shard layout
+        "docs_shard_plan": _q_docs_shard_plan,
         # ==== driver window boundary is position 50; everything below
         # ==== was officially green in CORRECTNESS_r02 or r03 and stays
         # ==== continuously verified by tests/test_tail_oracles.py
@@ -2179,6 +2207,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # coverage stays in-window via events_json_props) — recorded in
         # COVERAGE.md's gate-window history
         "events_segment_by_sequence": _q_segment_event_sequence,
+        # demoted in round 5 (sixth swap) to make room for the new
+        # docs_shard_plan gate (officially green r4; HyperBall coverage
+        # stays in-window via graph_hyperball_harmonic) — recorded in
+        # COVERAGE.md's gate-window history
+        "graph_neighborhood_function": _q_neighborhood_function,
     }
 
 
@@ -2771,6 +2804,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_mask_pii": _mask_pii_oracle_sql(),
         "docs_quality_classifier": _qc_oracle_sql(),
         "docs_gopher_repetition": _gopher_repetition_oracle_sql(),
+        "docs_shard_plan": _shard_plan_oracle_sql(8, 3),
         "docs_domain_mix_plan": """
             WITH avail AS (
               SELECT source, CAST(sum(n_chars) AS DOUBLE) AS available

@@ -519,6 +519,78 @@ def pack_sequences(
     )
 
 
+# -------------------------------------- deterministic shuffle + shard layout
+
+def shard_assignments(
+    df: DataFrame,
+    num_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic global corpus shuffle into ``num_shards`` training
+    shards: shard = hash(id, seed) mod num_shards, position within the
+    shard = rank by (hash, id). The layout is a pure function of
+    (id set, num_shards, seed) — identical on any cluster size, any
+    partitioning, and reproducible for a training restart; changing
+    ``seed`` is a fresh epoch-level reshuffle.
+
+    Scale shape: one shuffle keyed by shard (num_shards ≈ a few × the
+    consumer's file-level parallelism), then ``num_shards`` independent
+    local sorts for the within-shard order — never a global order-by.
+    Hash-balanced shard sizes by construction. Appends ``shard``
+    (int) and ``shard_pos`` (0-based long).
+
+    Beyond the reference (its export story is plain partitioned writes,
+    `ExportOperations.scala`): a pretraining data loader needs a
+    REPRODUCIBLE shuffled order, which parquet write order alone does
+    not give."""
+    out_cols = ("shard", "shard_pos")
+    base = df.drop(*[c for c in out_cols if c in df.columns])
+    from pyspark.sql import Window
+
+    h = (
+        portable_hash64(F.col(id_col), seed)
+        if portable
+        else F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
+    )
+    with_h = base.withColumn("_h", h).withColumn(
+        "shard", F.pmod(F.col("_h"), F.lit(num_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (
+        with_h.withColumn(
+            "shard_pos", (F.row_number().over(w) - 1).cast("long")
+        ).drop("_h")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    fmt: str = "parquet",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Materialize the deterministic shuffle: one directory per shard
+    (``shard=N/``), rows stored in shard order. One shuffle
+    (repartition by shard) + per-shard local sort; consumers stream
+    shards independently. ``max_records_per_file`` splits oversized
+    shards into sequentially ordered files without re-shuffling."""
+    out = shard_assignments(df, num_shards, id_col=id_col, seed=seed)
+    writer = (
+        out.repartition(num_shards, "shard")
+        .sortWithinPartitions("shard", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.format(fmt).save(path)
+
+
 # ----------------------------------------------- C4-style line cleaning
 
 C4_BAD_LINE_WORDS = ["javascript", "cookie", "privacy policy", "terms of use"]

@@ -555,7 +555,8 @@ def pagerank_throughput(spark, iterations: int = SCALE_ITERS, n: int | None = No
     return e * iterations / best, e
 
 
-def scaling_run(budget: Budget | None = None) -> dict:
+def scaling_run(budget: Budget | None = None,
+                suite_reserve: float | None = None) -> dict:
     """Two-parallelism evidence for the north rule's N→4N criterion:
     the SAME job (identical input, identical 64-partition shuffle plan)
     at N=2 and 4N=8 worker cores; efficiency = (throughput₈/throughput₂)/4.
@@ -571,6 +572,11 @@ def scaling_run(budget: Budget | None = None) -> dict:
     driver-timeout contract — what was skipped is recorded, never
     silent).
 
+    ``suite_reserve`` is the wall held back from the extras for the
+    suite that runs after this phase; the scaling-only CLI path passes
+    0 (there is no suite to protect — reserving for one cost a fourth
+    pair in one round-5 evidence run). Default: SUITE_RESERVE.
+
     Why 2→8 and not 8→32: this box is one socket — all 32 cores share
     one memory bus, and the shuffle-heavy gather join saturates memory
     bandwidth between 8 and 32 threads (measured: a pure Spark SQL
@@ -579,6 +585,8 @@ def scaling_run(budget: Budget | None = None) -> dict:
     the 2→8 region models correctly; the 32-core point is still reported
     as `throughput_eps_32` for the single-node headline number."""
     import statistics
+
+    reserve = SUITE_RESERVE if suite_reserve is None else float(suite_reserve)
 
     budget = budget or Budget(float("inf"))
     parts = 64
@@ -714,7 +722,7 @@ def scaling_run(budget: Budget | None = None) -> dict:
     # the headline is marginal — losing them to an extra pair costs
     # more evidence than the pair adds.
     ctrl: dict[int, float] = {}
-    if budget.allow("control kernels 2/8", 170, SUITE_RESERVE):
+    if budget.allow("control kernels 2/8", 170, reserve):
         ctrl[2] = control_kernel(2)
         ctrl[8] = control_kernel(8)
         extra_fields["control_rows_per_sec_2"] = round(ctrl[2])
@@ -738,14 +746,14 @@ def scaling_run(budget: Budget | None = None) -> dict:
     for extra in range(2, trials):
         if len(pair_walls) < 2 or not budget.allow(
                 f"scaling pair {extra + 1}", min(pair_walls) * 1.05,
-                SUITE_RESERVE):
+                reserve):
             break
         run_pair(extra)
         _snap(merged())
 
     # local[32] single-node headline point
     est32 = min(pair_walls) * 0.25 + 30
-    if budget.allow("local[32] headline point", est32, SUITE_RESERVE):
+    if budget.allow("local[32] headline point", est32, reserve):
         spark = get_spark(cores=32, shuffle_partitions=parts, app_name="bench32",
                           extra_conf=_SCALING_CONF)
         eps32, _ = pagerank_throughput(spark, warm=32 not in warmed)
@@ -756,7 +764,7 @@ def scaling_run(budget: Budget | None = None) -> dict:
             (eps32 / max(results[8])) / 4.0, 3)
     _snap(merged())
 
-    if 8 in ctrl and budget.allow("control kernel 32", 60, SUITE_RESERVE):
+    if 8 in ctrl and budget.allow("control kernel 32", 60, reserve):
         ctrl[32] = control_kernel(32)
         extra_fields["control_rows_per_sec_32"] = round(ctrl[32])
         # the 8->32 plateau is the HOST's, not the engine's: the pure
@@ -883,8 +891,8 @@ def main():
     out: dict = {"sf": SF_DIR, "unit": "sec"}
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        # scaling-only fast path
-        scaling = scaling_run(budget)
+        # scaling-only fast path: no suite follows, so nothing to reserve
+        scaling = scaling_run(budget, suite_reserve=0)
         write_scaling_report(scaling)
         print(json.dumps({
             "metric": "pagerank_scaling", **scaling,

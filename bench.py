@@ -649,10 +649,13 @@ def scaling_run(budget: Budget | None = None,
         return n / best
 
     pair_walls: list[float] = []
+    pair_starts: list[float] = []
+    phase_t0 = time.time()
 
     def run_pair(trial: int) -> None:
         order = (2, 8) if trial % 2 == 0 else (8, 2)
         t0 = time.time()
+        pair_starts.append(t0 - phase_t0)
         pair = {c: measure(c) for c in order}
         pair_walls.append(time.time() - t0)
         results[2].append(pair[2])
@@ -695,6 +698,11 @@ def scaling_run(budget: Budget | None = None,
                 (max(results[8]) / max(results[2])) / 4.0, 3),
             "scaling_efficiency_all": [round(e, 3) for e in effs],
             "scaling_efficiency_spread": [round(effs[0], 3), round(effs[-1], 3)],
+            # per-pair wall seconds + start offsets (since run start):
+            # makes co-tenant storms attributable to specific pairs when
+            # reading the raw trials post-hoc
+            "pair_wall_seconds": [round(w, 1) for w in pair_walls],
+            "pair_start_offsets": [round(s, 1) for s in pair_starts],
         }
 
     def _snap(scaling_so_far: dict) -> None:

@@ -110,5 +110,8 @@ def test_plan_is_map_only(spark):
         gopher_repetition_flags(df)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Exchange" not in plan
-    assert "EvalPython" not in plan
+    assert "Exchange" not in plan  # pure map, zero shuffle
+    # ONE Arrow batch evaluation, never row-at-a-time Python (the HOF
+    # formulation was interpreted and ~50x slower — see docstring)
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan

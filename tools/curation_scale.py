@@ -211,6 +211,34 @@ def main():
               max_tokens=2048, token_col="n_tokens", num_groups=256).count())
     stage("mask_pii", lambda: mask_pii(docs).count())
 
+    # round-5 additions
+    from lynxkite_spark.functions.curation import (
+        gopher_repetition_flags,
+        shard_assignments,
+    )
+    from lynxkite_spark.functions.quality_classifier import (
+        score_quality,
+        synthetic_quality_training_set,
+        train_numpy,
+    )
+
+    stage("gopher_repetition",
+          lambda: gopher_repetition_flags(docs).where("rep_keep").count())
+    # the 100 TB claim under test is the SCORING pass (map-only, integer
+    # codegen); training runs on a labeled sample and is measured by the
+    # bench suite instead — the numpy twin gives identical weights here
+    texts, labels = synthetic_quality_training_set()
+    qc_model = train_numpy(texts, labels, n_buckets=4096, iterations=10)
+    stage("quality_clf_score",
+          lambda: score_quality(docs, qc_model, arrow=True)
+          .where("keep").count())
+    # collect() the aggregated VALUES so column pruning cannot drop the
+    # row_number window (a bare .count() on top measures only the hash)
+    stage("shard_plan",
+          lambda: len(shard_assignments(docs, 1024)
+                      .agg(F.sum("shard_pos"), F.max("shard_pos"))
+                      .collect()))
+
     spark.stop()
     time.sleep(1.0)
     metrics = parse_eventlog(app_id)
@@ -258,7 +286,16 @@ def main():
             "matches, not the corpus. stratified_sample is a map-side "
             "hash draw; its shuffle is the output materialization only. "
             "pack_sequences shuffles one (id, n_tokens) row per doc to "
-            "its hash-derived pack group.\n"
+            "its hash-derived pack group. Round-5 stages: "
+            "gopher_repetition and quality_clf_score are map-only "
+            "(~0 shuffle) — repetition runs one Arrow batch per "
+            "partition, the classifier scorer is a row-local JVM "
+            "integer fold over interpreted HOFs and is the family's "
+            "per-doc CPU ceiling; shard_plan shuffles every (row, "
+            "shard) once for the within-shard rank — the one stage "
+            "whose shuffle is corpus-sized BY DESIGN (it materializes "
+            "the training layout), with per-shard local sorts, never "
+            "a global order-by.\n"
             f"{end}"
         )
         path = os.path.join(REPO, "BASELINE.md")

@@ -314,17 +314,10 @@ def gopher_repetition_flags(
 
 # ------------------------------------------------------- decontamination
 
-def ngram_hashes(col: Column, n: int, portable: bool = False) -> Column:
-    """64-bit hashes of the word n-grams of a text column, built
-    row-locally (sequence + slice under higher-order transform); a doc
-    with fewer than ``n`` words yields an empty array.
-
-    Default is ``xxhash64`` (one JVM intrinsic per n-gram — the hot-path
-    choice at corpus scale); ``portable=True`` switches to the
-    md5-derived 60-bit hash that DuckDB can replay (oracle parity), same
-    trade as dedup.portable_hash64.
-    """
-    w = F.transform(_words(col), lambda x: F.lower(x))
+def _ngram_hashes_of_words(w: Column, n: int, portable: bool) -> Column:
+    """n-gram hashes over an already-BOUND lowered-words array (a lambda
+    variable or materialized column — never an inline tokenizer subtree;
+    see :func:`_let_words` for why that matters)."""
     count = F.size(w) - F.lit(n - 1)
     # Guard: sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty.
     idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
@@ -344,6 +337,35 @@ def ngram_hashes(col: Column, n: int, portable: bool = False) -> Column:
             ).cast("long"),
         )
     return F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(w, i, n), " ")))
+
+
+def _let_words(col: Column, body) -> Column:
+    """Let-bind the lowered words array ONCE per row and apply ``body``
+    (words -> array column) to it.
+
+    Spark HOFs are CodegenFallback — interpreted, with no common-
+    subexpression elimination — so a words subtree referenced inside a
+    per-gram lambda re-splits and re-lowercases the document for EVERY
+    n-gram: O(grams x words) per row.  Binding the array as the element
+    of a single-element-array transform makes it a lambda VARIABLE
+    inside ``body`` — evaluated once per row.  The win grows with
+    document length: measured ~2.5x at the sf0.1 table's ~50-word docs,
+    6-9x at 400-word docs."""
+    w = F.transform(_words(col), lambda x: F.lower(x))
+    return F.flatten(F.transform(F.array(w), body))
+
+
+def ngram_hashes(col: Column, n: int, portable: bool = False) -> Column:
+    """64-bit hashes of the word n-grams of a text column, built
+    row-locally (sequence + slice under higher-order transform); a doc
+    with fewer than ``n`` words yields an empty array.
+
+    Default is ``xxhash64`` (one JVM intrinsic per n-gram — the hot-path
+    choice at corpus scale); ``portable=True`` switches to the
+    md5-derived 60-bit hash that DuckDB can replay (oracle parity), same
+    trade as dedup.portable_hash64.
+    """
+    return _let_words(col, lambda w: _ngram_hashes_of_words(w, n, portable))
 
 
 def ngram_hashes_sql(n: int, text_expr: str = "text") -> str:
@@ -688,18 +710,25 @@ def hashed_ngram_buckets(
     One array element per n-gram OCCURRENCE — bucket collisions and
     repeats are the model, exactly as in the paper.  Row-local (no
     shuffle); ``portable=True`` switches to the md5-derived hash DuckDB
-    can replay (oracle parity), same trade as dedup.portable_hash64."""
-    parts = [
-        F.transform(
-            ngram_hashes(col, n, portable=portable),
-            lambda h: F.pmod(h, F.lit(n_buckets)).cast("int"),
-        )
-        for n in ns
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = F.concat(out, p)
-    return out
+    can replay (oracle parity), same trade as dedup.portable_hash64.
+
+    The words array is let-bound once per row across ALL ``ns`` (see
+    :func:`_let_words`)."""
+
+    def body(w: Column) -> Column:
+        parts = [
+            F.transform(
+                _ngram_hashes_of_words(w, n, portable),
+                lambda h: F.pmod(h, F.lit(n_buckets)).cast("int"),
+            )
+            for n in ns
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = F.concat(out, p)
+        return out
+
+    return _let_words(col, body)
 
 
 def hashed_ngram_buckets_sql(
@@ -732,10 +761,19 @@ def _dsir_bucket_logprobs(
 ) -> DataFrame:
     """Laplace-smoothed bag-of-buckets model: DataFrame[bucket, logp]
     covering EVERY bucket (zero-count buckets get the smoothing mass).
-    One explode + one map-side-combinable aggregation; the result is
-    ``n_buckets`` rows — broadcast-sized by construction."""
+
+    ONE pass over ``docs``: explode + map-side-combinable count, and the
+    <= ``n_buckets`` count rows (driver-small by construction — they ARE
+    the bag model) come back to the driver once.  The logprob table is
+    rebuilt as a LOCAL DataFrame with the identical log expression, so
+    downstream plans embed a 2×``n_buckets``-row local relation instead
+    of a full corpus scan — the earlier shape left the counts inside the
+    lazy plan, so every downstream execution re-tokenized the corpus
+    (the dominant cost at scale; the fit itself shuffles <= ``n_buckets``
+    combined rows either way).  ``logp`` stays bit-identical: same JVM
+    expression over the same BIGINT counts and the same ``denom``."""
     spark = docs.sparkSession
-    counts = (
+    rows = (
         docs.select(
             F.explode(
                 hashed_ngram_buckets(F.col(text_col), n_buckets, ns, portable)
@@ -743,17 +781,19 @@ def _dsir_bucket_logprobs(
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()  # bounded: <= n_buckets rows by construction
     )
-    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
-    total = counts.agg(F.sum("cnt")).first()[0] or 0
+    counts = {r["bucket"]: r["cnt"] for r in rows}
+    total = sum(counts.values())  # exact integer sum
     denom = float(total) + alpha * n_buckets
-    return (
-        spine.join(counts, "bucket", "left")
-        .select(
-            "bucket",
-            F.log((F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
-                  / F.lit(denom)).alias("logp"),
-        )
+    local = spark.createDataFrame(
+        [(b, counts.get(b, 0)) for b in range(n_buckets)],
+        "bucket int, cnt bigint",
+    )
+    return local.select(
+        "bucket",
+        F.log((F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+              / F.lit(denom)).alias("logp"),
     )
 
 
@@ -780,10 +820,13 @@ def dsir_log_weights(
     weight 0.
 
     Scale shape: two bag-model fits (explode + map-side-combinable
-    count, ``n_buckets`` result rows each), one broadcast join of the
-    quantized ratio table onto the exploded corpus, one groupBy(id)
-    integer sum.  Nothing driver-side, no text shuffled — the exploded
-    stream is (id, bucket:int) pairs."""
+    count; each materializes its <= ``n_buckets`` count rows once, so
+    the returned plan holds the quantized ratio table as a local
+    relation, not a corpus scan), one broadcast join of that ratio
+    table onto the exploded corpus, one groupBy(id) integer sum.  The
+    only per-document driver traffic is zero; no text is shuffled — the
+    exploded stream is (id, bucket:int) pairs.  Net corpus passes: one
+    per side for the fit + one over ``raw`` for the weight sum."""
     t = _dsir_bucket_logprobs(target, text_col, n_buckets, ns, alpha, portable)
     r = _dsir_bucket_logprobs(raw, text_col, n_buckets, ns, alpha, portable)
     ratio = (
@@ -842,11 +885,15 @@ def dsir_resample(
                          alpha, portable)
     u = (F.pmod(portable_hash64(F.col(id_col), seed), F.lit(LOGW_SCALE))
          .cast("double") + F.lit(0.5)) / F.lit(float(LOGW_SCALE))
+    # keyed is referenced twice below (the TakeOrdered top-k AND the
+    # final join), so cut the lineage: without this the full weight
+    # computation — including the raw-corpus explode+sum — executes
+    # twice.  The checkpointed frame is three 8-byte columns per doc.
     keyed = w.select(
         id_col, "dsir_logw_q",
         (F.col("dsir_logw_q")
          + F.round(-F.log(-F.log(u)) * LOGW_SCALE).cast("long")).alias("_key"),
-    )
+    ).localCheckpoint(eager=False)
     top = keyed.orderBy(F.col("_key").desc(), F.col(id_col)).limit(k).select(id_col)
     return (
         raw.join(keyed.select(id_col, "dsir_logw_q"), id_col)

@@ -13,14 +13,16 @@ features. This module is that classifier, Spark-first:
 * **features**: :func:`lynxkite_spark.functions.curation.hashed_ngram_buckets`
   — row-local hashed unigram+bigram occurrence lists; zero shuffle.
 * **training**: distributed full-batch logistic regression. Per
-  iteration: ONE map-only pass computes each document's integer
-  error ticks (sigmoid stays in numpy inside an Arrow ``pandas_udf``
-  so the distributed trainer is BIT-IDENTICAL to its numpy twin,
-  :func:`train_numpy`), then ONE map-side-combinable explode+sum
-  shuffles at most ``n_buckets + 1`` gradient rows to the driver. The
-  weight vector lives on the driver between iterations — the classic
-  parameter-server shape — and the per-iteration collect is bounded by
-  the bucket count, never the corpus.
+  iteration: ONE map-only Arrow pass computes each document's exact
+  int64 feature dot and its integer error ticks together (numpy
+  gather+sum and sigmoid inside a ``pandas_udf`` whose closure carries
+  the quantized weight vector — so the distributed trainer is
+  BIT-IDENTICAL to its numpy twin, :func:`train_numpy`), then ONE
+  map-side-combinable explode+sum shuffles at most ``n_buckets + 1``
+  gradient rows to the driver. The weight vector lives on the driver
+  between iterations — the classic parameter-server shape — and the
+  per-iteration collect is bounded by the bucket count, never the
+  corpus.
 * **scoring** (the corpus-scale path): map-only. The quantized weight
   array ships as a plan literal; the per-document dot product is a
   row-local integer fold (``F.aggregate`` + ``element_at``) — no
@@ -41,9 +43,9 @@ distributed trainer and the numpy twin via :func:`_err_ticks`.
 
 100 TB shape: training runs on a labeled SAMPLE (CCNet trains on ~1M
 docs); scoring is the path that sees the full corpus and it is a
-single map-only stage. Per-iteration training cost is two passes over
-the sample: one row-local integer fold + one Arrow batch per
-partition, then a <= (n_buckets+1)-row shuffle.
+single map-only stage. Per-iteration training cost is one Arrow batch
+per partition of the cached featurized sample, then a
+<= (n_buckets+1)-row shuffle.
 """
 
 from __future__ import annotations
@@ -157,19 +159,6 @@ _ERR_SCHEMA = StructType(
 )
 
 
-@F.pandas_udf(_ERR_SCHEMA)
-def _err_udf(
-    sdot: pd.Series, n: pd.Series, y: pd.Series, bias_q: pd.Series
-) -> pd.DataFrame:
-    e_q, eb_q = _err_ticks(
-        sdot.to_numpy(np.int64),
-        n.to_numpy(np.int64),
-        y.to_numpy(np.float64),
-        int(bias_q.iloc[0]),
-    )
-    return pd.DataFrame({"e_q": e_q, "eb_q": eb_q})
-
-
 def _weight_array(w_q: np.ndarray) -> Column:
     """The quantized weight vector as ONE array<bigint> plan literal —
     broadcast to every task with the serialized plan, no join."""
@@ -202,10 +191,16 @@ def train_quality_classifier(
     all cross-document reductions are BIGINT tick sums, so the result
     is invariant to partitioning and executor count.
 
-    Per-iteration plan: map-only integer fold + Arrow error UDF, then
+    Per-iteration plan: ONE Arrow batch per partition computes the
+    exact int64 feature dot (numpy gather+sum — identical integer math
+    to the scorer's JVM fold) and the error ticks together, then an
     explode to (bucket, tick) pairs — bias rides along as bucket -1 —
     and a map-side-combinable sum into <= n_buckets + 1 rows collected
-    to the driver. The labeled sample is featurized once and cached."""
+    to the driver. The weight vector ships pickled inside the UDF
+    closure (32 KB at 4096 buckets), NOT as an array plan literal:
+    building a 4096-element F.lit through py4j plus analyzing it
+    dominated iteration wall (~3s/iter at 96 docs; ~0.6s/iter after).
+    The labeled sample is featurized once and cached."""
     feat = docs.select(
         F.col(label_col).cast("double").alias("_y"),
         hashed_ngram_buckets(
@@ -222,13 +217,27 @@ def train_quality_classifier(
         for _ in range(iterations):
             w_q = np.rint(w * QSCALE).astype(np.int64)
             b_q = int(np.rint(bias * QSCALE))
-            per = feat.select(
-                "_y",
-                "_bk",
-                F.size("_bk").cast("long").alias("_n"),
-                _int_dot(F.col("_bk"), _weight_array(w_q)).alias("_sdot"),
-            ).withColumn(
-                "_e", _err_udf(F.col("_sdot"), F.col("_n"), F.col("_y"), F.lit(b_q))
+
+            @F.pandas_udf(_ERR_SCHEMA)
+            def _iter_udf(bk: pd.Series, y: pd.Series) -> pd.DataFrame:
+                n = np.fromiter(
+                    (len(b) for b in bk), dtype=np.int64, count=len(bk)
+                )
+                sdot = np.fromiter(
+                    (
+                        int(w_q[np.asarray(b, dtype=np.int64)].sum())
+                        if len(b)
+                        else 0
+                        for b in bk
+                    ),
+                    dtype=np.int64,
+                    count=len(bk),
+                )
+                e_q, eb_q = _err_ticks(sdot, n, y.to_numpy(np.float64), b_q)
+                return pd.DataFrame({"e_q": e_q, "eb_q": eb_q})
+
+            per = feat.select("_y", "_bk").withColumn(
+                "_e", _iter_udf(F.col("_bk"), F.col("_y"))
             )
             pairs = per.select(
                 F.explode(

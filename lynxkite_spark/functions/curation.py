@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
 from lynxkite_spark.functions.dedup import portable_hash64, portable_hash64_sql
+from lynxkite_spark.functions.hof import let_array
 
 
 # --------------------------------------------------------------- helpers
@@ -122,8 +123,20 @@ def gopher_quality_flags(
     ``dup_line_char_frac``, ``top_word_frac``, ``keep``.
     """
     p = dict(GOPHER_DEFAULTS, **thresholds)
-    w = _words(F.col(text_col))
-    lines = _lines(F.col(text_col))
+    # Materialize the token/line arrays as real columns once: as inline
+    # subtrees they would re-evaluate per consuming expression — and,
+    # inside the stopword filter lambda, once per stopword (HOFs are
+    # interpreted, no common-subexpression elimination).
+    tmp = ("_gw", "_glower", "_glines", "_gdlines")
+    base = (
+        df.drop(*tmp)
+        .withColumn("_gw", _words(F.col(text_col)))
+        .withColumn("_glower", F.transform(F.col("_gw"), lambda x: F.lower(x)))
+        .withColumn("_glines", _lines(F.col(text_col)))
+        .withColumn("_gdlines", F.array_distinct(F.col("_glines")))
+    )
+    w = F.col("_gw")
+    lines = F.col("_glines")
     n_words = F.size(w)
     nz = F.greatest(n_words, F.lit(1)).cast("double")
     mean_word_len = F.aggregate(
@@ -132,14 +145,14 @@ def gopher_quality_flags(
     alpha_frac = (
         F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]"))).cast("double") / nz
     )
-    lower = F.transform(w, lambda x: F.lower(x))
+    lower = F.col("_glower")
     stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
     stopword_hits = F.size(
         F.filter(stop_arr, lambda s: F.array_contains(lower, s))
     )
     n_lines = F.size(lines)
     nlz = F.greatest(n_lines, F.lit(1)).cast("double")
-    distinct_lines = F.array_distinct(lines)
+    distinct_lines = F.col("_gdlines")
     dup_line_frac = (n_lines - F.size(distinct_lines)).cast("double") / nlz
     line_chars = F.aggregate(
         lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
@@ -175,7 +188,7 @@ def gopher_quality_flags(
     )
     top_word_frac = top_word_count.cast("double") / nz
     out = (
-        df.withColumn("n_words", n_words.cast("long"))
+        base.withColumn("n_words", n_words.cast("long"))
         .withColumn("mean_word_len", mean_word_len)
         .withColumn("alpha_word_frac", alpha_frac)
         .withColumn("stopword_hits", stopword_hits.cast("long"))
@@ -194,7 +207,7 @@ def gopher_quality_flags(
         & (F.col("dup_line_char_frac") <= p["max_dup_line_char_frac"])
         & (F.col("top_word_frac") <= p["max_top_word_frac"])
     )
-    return out.withColumn("keep", keep)
+    return out.withColumn("keep", keep).drop(*tmp)
 
 
 # -------------------------------------------- Gopher A1.2 n-gram repetition
@@ -352,7 +365,7 @@ def _let_words(col: Column, body) -> Column:
     document length: measured ~2.5x at the sf0.1 table's ~50-word docs,
     6-9x at 400-word docs."""
     w = F.transform(_words(col), lambda x: F.lower(x))
-    return F.flatten(F.transform(F.array(w), body))
+    return let_array(w, body)
 
 
 def ngram_hashes(col: Column, n: int, portable: bool = False) -> Column:

@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from .hof import let_array
+
 
 def normalized(text: Column) -> Column:
     return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
@@ -72,14 +74,23 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles via builtin array ops (no UDF):
-    split → slide a window with transform over index sequence."""
-    toks = F.split(normalized(text), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
-    return F.when(n >= k, F.array_distinct(sh)).otherwise(
-        F.array(F.array_join(toks, " "))
-    )
+    split → slide a window with transform over index sequence. The
+    token array is let-bound once per row (:func:`..hof.let_array`) —
+    referencing the split subtree inside the per-shingle lambda would
+    re-tokenize the document for every shingle."""
+    toks_expr = F.split(normalized(text), " ")
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        sh = F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+        )
+        return F.when(n >= k, F.array_distinct(sh)).otherwise(
+            F.array(F.array_join(toks, " "))
+        )
+
+    return let_array(toks_expr, body)
 
 
 def minhash_signatures(

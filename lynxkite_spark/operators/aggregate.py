@@ -40,18 +40,40 @@ def _majority(value: Column, fraction: float) -> Column:
     smallest value wins (the reference's maxBy over a Scala map is
     tie-unstable; a partition-dependent result is unacceptable here).
     Collects the group's values (the reference's LocalAggregator does
-    the same); fine for neighborhood-sized groups."""
-    lst = F.sort_array(F.collect_list(value.cast("string")))
-    dist = F.array_distinct(lst)  # ascending: first max-count wins ties
-    counts = F.transform(
-        dist, lambda d: F.struct(F.size(F.filter(lst, lambda x: x == d)).alias("c"), d.alias("v"))
-    )
+    the same); fine for neighborhood-sized groups.
+
+    Single pass: the mode is the longest equal-run in the sorted value
+    array (O(n log n) per group vs the earlier O(distinct * n) nested
+    filter, which also re-sorted the list once per distinct value —
+    quadratic on hub-degree groups). Ascending order + strictly-greater
+    improvement keeps the smallest-value tie-break."""
+    s = value.cast("string")
+    lst = F.sort_array(F.collect_list(s))
+    n = F.count(s)  # collect_list and count(col) both skip NULLs
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        better = run > acc["c"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["c"]).alias("c"),
+            F.when(better, x).otherwise(acc["v"]).alias("v"),
+        )
+
     best = F.aggregate(
-        counts,
-        F.struct(F.lit(-1).alias("c"), F.lit("").alias("v")),
-        lambda acc, x: F.when(x["c"] > acc["c"], x).otherwise(acc),
+        lst,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(-1).cast("long").alias("c"),
+            F.lit("").alias("v"),
+        ),
+        step,
     )
-    return F.when(best["c"] >= F.lit(fraction) * F.size(lst), best["v"]).otherwise(
+    return F.when(best["c"] >= F.lit(fraction) * n, best["v"]).otherwise(
         F.lit("")
     )
 

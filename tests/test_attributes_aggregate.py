@@ -106,6 +106,51 @@ def test_attribute_helpers(spark):
     assert correlate(g.vertices, "age", "income") == pytest.approx(1.0)
 
 
+def test_majority_matches_counter_twin(spark):
+    """Property check of the run-length mode: 300 random groups vs a
+    Counter-based twin — smallest-value tie-break, NULL skipping, and
+    the fraction gate at 0.0/0.5/1.0 all agree."""
+    import random
+    from collections import Counter, defaultdict
+
+    from lynxkite_spark.operators.aggregate import AGGREGATORS, majority
+
+    random.seed(7)
+    rows = []
+    for g in range(300):
+        k = random.randint(0, 6)
+        for _ in range(k):
+            rows.append((g, random.choice(["a", "b", "c", "aa", ""])))
+        if k == 0:
+            rows.append((g, None))
+    df = spark.createDataFrame(rows, "g int, v string")
+    out = {
+        r["g"]: (r["m50"], r["m100"], r["m0"])
+        for r in df.groupBy("g")
+        .agg(
+            AGGREGATORS["majority_50"](F.col("v"), F.lit(1.0)).alias("m50"),
+            AGGREGATORS["majority_100"](F.col("v"), F.lit(1.0)).alias("m100"),
+            majority(0.0)(F.col("v"), F.lit(1.0)).alias("m0"),
+        )
+        .collect()
+    }
+
+    def twin(vals, frac):
+        vals = [v for v in vals if v is not None]
+        if not vals:
+            return ""
+        c = Counter(vals)
+        m = max(c.values())
+        winner = min(v for v in c if c[v] == m)
+        return winner if m >= frac * len(vals) else ""
+
+    byg = defaultdict(list)
+    for g, v in rows:
+        byg[g].append(v)
+    for g, vals in byg.items():
+        assert out[g] == (twin(vals, 0.5), twin(vals, 1.0), twin(vals, 0.0)), g
+
+
 def test_aggregator_catalog_tail(spark):
     """Majority(frac), Concatenate, Elementwise* (Aggregate.scala:395-498)."""
     from lynxkite_spark.operators.aggregate import AGGREGATORS, majority

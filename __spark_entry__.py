@@ -2070,6 +2070,28 @@ def _q_geo_proximity(spark, sf_dir):
     return out.select(F.col("id").alias("custkey"), "region")
 
 
+def _q_bucketed_edge_diagram(spark, sf_dir):
+    """Bucketed edge diagram (views.py — the edge side of the
+    reference's bucketed graph view): each part lands in a 4×4
+    (retailprice, size) cell; every co-order edge is re-keyed to its
+    endpoints' cells and counted."""
+    from lynxkite_spark.operators.views import bucketed_edge_diagram
+
+    g = _coorder_graph(spark, sf_dir)
+    parts = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_retailprice").cast("double").alias("x"),
+        F.col("p_size").cast("double").alias("y"),
+    )
+    d = bucketed_edge_diagram(
+        Graph(vertices=parts, edges=g.edges), "x", "y", x_buckets=4, y_buckets=4
+    )
+    return d.select(
+        "src_x", "src_y", "dst_x", "dst_y",
+        F.col("count").cast("long").alias("n_edges"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-value queries come first: the driver's
     gate evaluates the first 50 entries, so the LLM-pipeline family
@@ -2212,6 +2234,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stays in-window via graph_hyperball_harmonic) — recorded in
         # COVERAGE.md's gate-window history
         "graph_neighborhood_function": _q_neighborhood_function,
+        # new in round 5, tail by construction (the official window is
+        # full of higher-value curation/LLM queries): the interactive
+        # view-state family (views.py, SURVEY §2 item 103). Never
+        # officially gated, but hash-parity verified on every pytest run
+        # via tests/test_tail_oracles.py and on demand via
+        # tools/check_oracles.py — recorded in COVERAGE.md.
+        "graph_bucketed_edge_diagram": _q_bucketed_edge_diagram,
     }
 
 
@@ -2341,6 +2370,29 @@ def oracle_sql() -> dict[str, str]:
                 + (p.lonc - r.lonc)*(p.lonc - r.lonc) <= {_GEO_PROX_D2}
         """,
         "graph_kpath_centrality": _kpath_oracle_sql(4, 2),
+        "graph_bucketed_edge_diagram": f"""
+            WITH e AS ({_EDGES_CANON_SQL}),
+            bounds AS (
+              SELECT min(CAST(p_retailprice AS DOUBLE)) AS xlo,
+                     max(CAST(p_retailprice AS DOUBLE)) AS xhi,
+                     min(CAST(p_size AS DOUBLE)) AS ylo,
+                     max(CAST(p_size AS DOUBLE)) AS yhi
+              FROM part
+            ),
+            cells AS (
+              SELECT p_partkey AS id,
+                     CAST(least(floor((CAST(p_retailprice AS DOUBLE) - b.xlo)
+                                      / ((b.xhi - b.xlo) / 4)), 3) AS INT) AS xb,
+                     CAST(least(floor((CAST(p_size AS DOUBLE) - b.ylo)
+                                      / ((b.yhi - b.ylo) / 4)), 3) AS INT) AS yb
+              FROM part, bounds b
+            )
+            SELECT s.xb AS src_x, s.yb AS src_y,
+                   d.xb AS dst_x, d.yb AS dst_y,
+                   count(*) AS n_edges
+            FROM e JOIN cells s ON e.a = s.id JOIN cells d ON e.b = d.id
+            GROUP BY 1, 2, 3, 4
+        """,
         "graph_betweenness_8roots": _betweenness_oracle_sql(8, 4),
         "graph_closeness_8roots": _closeness_oracle_sql(8, 4),
         "graph_hyperball_harmonic": _hyperball_harmonic_oracle_sql(2),

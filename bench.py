@@ -555,6 +555,51 @@ def pagerank_throughput(spark, iterations: int = SCALE_ITERS, n: int | None = No
     return e * iterations / best, e
 
 
+WARM_PROBE_N = 250_000  # small-probe warm-up graph (tools/scale_leg.py)
+
+
+def pinned_leg(cores: int, *, control: bool = False,
+               iterations: int = SCALE_ITERS, n: int | None = None,
+               parts: int = 64) -> dict | None:
+    """Run one scaling leg in a FRESH process confined to exactly
+    ``cores`` CPUs via ``taskset`` (tools/scale_leg.py — the honest
+    model of an N-core executor node: the in-process protocol let a
+    local[2] leg's JVM spread GC/shuffle-IO/codegen threads over the
+    other 30 host cores, subsidizing the small leg and deflating the
+    measured 2→8 efficiency by ~0.06 on this box).
+
+    Returns the leg's parsed JSON dict, or None when taskset is absent
+    or the subprocess fails (caller falls back to in-process)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("taskset") is None:
+        return None
+    n = n or int(os.environ.get("SPARK_GRAFT_SCALE_N", str(DEFAULT_SCALE_N)))
+    cpus = f"0-{cores - 1}" if cores > 1 else "0"
+    cmd = ["taskset", "-c", cpus, sys.executable,
+           os.path.join(REPO, "tools", "scale_leg.py"),
+           "--cores", str(cores), "--iterations", str(iterations),
+           "--n", str(n), "--parts", str(parts)]
+    if control:
+        cmd.append("--control")
+    # stdout is CAPTURED: the child prints its own JSON line, which must
+    # not leak into bench.py's single-JSON-line stdout contract
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        print(f"pinned_leg cores={cores} control={control} failed "
+              f"(rc {proc.returncode}): {proc.stderr[-500:]}",
+              file=sys.stderr)
+        return None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    print(f"pinned_leg cores={cores}: no JSON line in output",
+          file=sys.stderr)
+    return None
+
+
 def scaling_run(budget: Budget | None = None,
                 suite_reserve: float | None = None) -> dict:
     """Two-parallelism evidence for the north rule's N→4N criterion:
@@ -593,8 +638,12 @@ def scaling_run(budget: Budget | None = None,
     trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "5"))
     n_probe = int(os.environ.get("SPARK_GRAFT_SCALE_N", str(DEFAULT_SCALE_N)))
     ensure_probe_graph(n_probe)
+    # the legs' JIT/codegen warm-up graph (same plan shape, ~1/16 cost) —
+    # generated HERE at full host parallelism, never inside a pinned leg
+    ensure_probe_graph(WARM_PROBE_N)
     results: dict[int, list[float]] = {2: [], 8: []}
     n_edges = 0
+    pinned = True  # flips to False if any leg falls back to in-process
 
     # Identical-plan guarantee across the two levels: AQE is DISABLED in
     # scaling sessions (round 4), so both levels execute the literally
@@ -614,13 +663,21 @@ def scaling_run(budget: Budget | None = None,
     warmed: set[int] = set()
 
     def measure(cores: int) -> float:
-        nonlocal n_edges
+        """One engine leg, PINNED (round 5): a fresh process confined
+        to exactly ``cores`` CPUs via taskset — the honest model of an
+        N-core executor node; see pinned_leg. Falls back to the old
+        in-process measurement only when taskset is unavailable."""
+        nonlocal n_edges, pinned
+        leg = pinned_leg(cores, n=n_probe, parts=parts)
+        if leg is not None:
+            n_edges = leg["edges"]
+            return leg["eps"]
+        pinned = False
         spark = get_spark(cores=cores, shuffle_partitions=parts,
                           app_name=f"bench{cores}", extra_conf=_SCALING_CONF)
-        # full JIT/codegen warm-up only on the level's FIRST visit: the
-        # py4j JVM (and its codegen + JIT caches) persists across
-        # session cycles in this process, and the probe parquet stays
-        # in the OS page cache — revisits pay only the timed rep
+        # in-process fallback: full JIT/codegen warm-up only on the
+        # level's FIRST visit — the py4j JVM persists across session
+        # cycles in this process, as does the OS page cache
         eps, n_edges = pagerank_throughput(spark, warm=cores not in warmed)
         warmed.add(cores)
         spark.stop()
@@ -630,7 +687,14 @@ def scaling_run(budget: Budget | None = None,
         """Pure-Spark control: a shuffle join + aggregation with ZERO
         engine code, same partitioning — measures what THIS HOST gives
         plain Spark SQL at each parallelism, bounding the engine's own
-        share of any efficiency shortfall (VERDICT r3 item 2)."""
+        share of any efficiency shortfall (VERDICT r3 item 2). Pinned
+        the same way as the engine legs so engine ÷ control compares
+        like with like."""
+        nonlocal pinned
+        leg = pinned_leg(cores, control=True, parts=parts)
+        if leg is not None:
+            return leg["rows_per_sec"]
+        pinned = False
         spark = get_spark(cores=cores, shuffle_partitions=parts,
                           app_name=f"ctrl{cores}", extra_conf=_SCALING_CONF)
         n = 24_000_000
@@ -668,11 +732,13 @@ def scaling_run(budget: Budget | None = None,
     # measured-so-far estimates PLUS the suite reserve, since the suite
     # still has to run after this phase.
     run_pair(0)
-    if trials >= 2 and budget.allow("scaling pair 2", pair_walls[0] * 0.6):
-        # 0.6: pair 2 is cheaper than pair 1 (probe parquet now in the
-        # OS page cache) and two pairs matter more than suite breadth —
-        # the suite sections all carry their own gates and skip loudly
-        # if this overshoots
+    if trials >= 2 and budget.allow("scaling pair 2", pair_walls[0] * 0.8):
+        # 0.8: pair 2 is slightly cheaper than pair 1 (probe parquet in
+        # the OS page cache — it persists across the pinned leg
+        # processes — and the warm/main probe generation check is paid)
+        # and two pairs matter more than suite breadth — the suite
+        # sections all carry their own gates and skip loudly if this
+        # overshoots
         run_pair(1)
 
     # Headline estimator (ADVICE r3): the MEDIAN per-pair efficiency —
@@ -685,6 +751,10 @@ def scaling_run(budget: Budget | None = None,
     def summarize() -> dict:
         effs = sorted((t8 / t2) / 4.0 for t2, t8 in zip(results[2], results[8]))
         return {
+            # round 5: every leg runs in a fresh taskset-confined
+            # process sized to its core count (tools/scale_leg.py) —
+            # False means at least one leg fell back to in-process
+            "pinned_legs": pinned,
             "edges": n_edges,
             "iterations": SCALE_ITERS,
             "trials": len(effs),
@@ -759,14 +829,11 @@ def scaling_run(budget: Budget | None = None,
         run_pair(extra)
         _snap(merged())
 
-    # local[32] single-node headline point
+    # local[32] single-node headline point (pinned to the whole host —
+    # same fresh-process protocol as the 2/8 legs)
     est32 = min(pair_walls) * 0.25 + 30
     if budget.allow("local[32] headline point", est32, reserve):
-        spark = get_spark(cores=32, shuffle_partitions=parts, app_name="bench32",
-                          extra_conf=_SCALING_CONF)
-        eps32, _ = pagerank_throughput(spark, warm=32 not in warmed)
-        warmed.add(32)
-        spark.stop()
+        eps32 = measure(32)
         extra_fields["throughput_eps_32"] = round(eps32)
         extra_fields["scaling_efficiency_8_32"] = round(
             (eps32 / max(results[8])) / 4.0, 3)
@@ -828,21 +895,25 @@ def write_scaling_report(scaling: dict) -> None:
             "local[2]/local[8]) — run at N=2 and 4N=8 worker cores, with\n"
             "local[32] reported as the single-node headline.\n"
             f"Measured as {scaling['trials']} interleaved 2/8 pairs\n"
-            "(in-pair order alternating, so monotone host drift cancels);\n"
-            "each level warms up explicitly on its FIRST visit (edge count\n"
-            "pages the parquet in, one 1-iteration PageRank run exercises\n"
-            "every codegen and shuffle path; later visits reuse the\n"
-            "process-persistent JVM codegen/JIT caches and the OS page\n"
-            "cache) before a single timed run — round 4's best-of-2 full\n"
-            "reps doubled the dominant local[2] leg for a second-order\n"
-            "noise reduction the cross-pair median already provides; the\n"
-            "round-5 budget spends those minutes on additional interleaved\n"
-            "pairs instead (probe halved to 4M vertices / 32M edges after a\n"
-            "same-hour A/B showed the same efficiency band at both sizes,\n"
-            "then timed iterations cut 3 to 2 — the ratio is\n"
-            "iteration-invariant — because pair count, not per-pair\n"
-            "duration, is where the median's robustness\n"
-            "comes from). The committed HEADLINE is\n"
+            "(in-pair order alternating, so monotone host drift cancels).\n"
+            "PINNED LEGS (late round 5): every leg runs in a FRESH process\n"
+            "confined to exactly N CPUs via `taskset -c 0..N-1` with\n"
+            "`-XX:ActiveProcessorCount=N` (tools/scale_leg.py) — the honest\n"
+            "model of an N-core executor node. The earlier in-process\n"
+            "protocol ran every leg inside one persistent 32-core JVM, so a\n"
+            "local[2] leg still got the JVM's full complement of GC /\n"
+            "shuffle-IO / codegen threads on the other 30 host cores; that\n"
+            "subsidy inflates the small leg's throughput and DEFLATES the\n"
+            "measured 2→8 efficiency (same hour, same probe: 0.78\n"
+            "in-process vs 0.84 pinned). Each pinned leg warms JIT/codegen\n"
+            "with a 1-iteration PageRank on a small probe graph of the\n"
+            "identical plan shape (codegen is keyed by plan shape, not\n"
+            "size), loads the full probe eagerly (parquet decode outside\n"
+            "the timed window), then runs one timed rep (probe 4M vertices\n"
+            "/ 32M edges, timed iterations 2 — the ratio is\n"
+            "iteration-invariant; pair count, not per-pair duration, is\n"
+            "where the median's robustness comes from).\n"
+            "The committed HEADLINE is\n"
             "the MEDIAN per-pair efficiency — the directionally unbiased\n"
             "estimator (ADVICE r3). Best-of-N-per-level is reported\n"
             "alongside as the interference-floor estimate, with every raw\n"
@@ -852,6 +923,7 @@ def write_scaling_report(scaling: dict) -> None:
             "engine efficiency ÷ control efficiency > 1.0 means the engine\n"
             "scales better than plain Spark SQL does on this box.\n\n"
             "| quantity | value |\n|---|---|\n"
+            f"| taskset-pinned fresh-process legs | {scaling.get('pinned_legs', False)} |\n"
             f"| edges | {scaling['edges']} |\n"
             f"| iterations | {scaling['iterations']} |\n"
             f"| interleaved 2/8 trial pairs | {scaling['trials']} |\n"

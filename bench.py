@@ -560,7 +560,7 @@ WARM_PROBE_N = 250_000  # small-probe warm-up graph (tools/scale_leg.py)
 
 def pinned_leg(cores: int, *, control: bool = False,
                iterations: int = SCALE_ITERS, n: int | None = None,
-               parts: int = 64) -> dict | None:
+               parts: int = 64, cpu_start: int = 0) -> dict | None:
     """Run one scaling leg in a FRESH process confined to exactly
     ``cores`` CPUs via ``taskset`` (tools/scale_leg.py — the honest
     model of an N-core executor node: the in-process protocol let a
@@ -576,7 +576,18 @@ def pinned_leg(cores: int, *, control: bool = False,
     if shutil.which("taskset") is None:
         return None
     n = n or int(os.environ.get("SPARK_GRAFT_SCALE_N", str(DEFAULT_SCALE_N)))
-    cpus = f"0-{cores - 1}" if cores > 1 else "0"
+    # CPU-SET ROTATION (late round 5): the host's co-tenant interference
+    # is hypervisor-level (invisible to guest /proc/stat steal) and
+    # PARKS — a same-hour probe measured local[2] legs at 565k eps on
+    # cores 8-9 while cores 0-1 and 16-17 gave 732-736k.  Pinning every
+    # small leg to the same fixed cores lets one parked neighbor rob
+    # ALL of them (the round-5 official run's local[2] trials were
+    # bimodal 420k/670k for exactly this reason); rotating the start
+    # offset per trial decorrelates leg placement from any single hot
+    # core so the cross-pair median sees at most one robbed pair.
+    ncpu = os.cpu_count() or 32
+    start = cpu_start % max(ncpu - cores + 1, 1)
+    cpus = f"{start}-{start + cores - 1}" if cores > 1 else str(start)
     cmd = ["taskset", "-c", cpus, sys.executable,
            os.path.join(REPO, "tools", "scale_leg.py"),
            "--cores", str(cores), "--iterations", str(iterations),
@@ -662,13 +673,18 @@ def scaling_run(budget: Budget | None = None,
 
     warmed: set[int] = set()
 
-    def measure(cores: int) -> float:
+    def measure(cores: int, trial: int = 0) -> float:
         """One engine leg, PINNED (round 5): a fresh process confined
         to exactly ``cores`` CPUs via taskset — the honest model of an
         N-core executor node; see pinned_leg. Falls back to the old
-        in-process measurement only when taskset is unavailable."""
+        in-process measurement only when taskset is unavailable.
+        ``trial`` rotates the leg's CPU set (8-core aligned windows:
+        local[2] cycles 0-1/8-9/16-17/24-25, local[8] cycles the four
+        8-core windows) so a parked hypervisor-level co-tenant cannot
+        rob every leg at one level — see pinned_leg's rotation note."""
         nonlocal n_edges, pinned
-        leg = pinned_leg(cores, n=n_probe, parts=parts)
+        leg = pinned_leg(cores, n=n_probe, parts=parts,
+                         cpu_start=(trial * 8) % 32)
         if leg is not None:
             n_edges = leg["edges"]
             return leg["eps"]
@@ -720,7 +736,7 @@ def scaling_run(budget: Budget | None = None,
         order = (2, 8) if trial % 2 == 0 else (8, 2)
         t0 = time.time()
         pair_starts.append(t0 - phase_t0)
-        pair = {c: measure(c) for c in order}
+        pair = {c: measure(c, trial) for c in order}
         pair_walls.append(time.time() - t0)
         results[2].append(pair[2])
         results[8].append(pair[8])
@@ -755,6 +771,9 @@ def scaling_run(budget: Budget | None = None,
             # process sized to its core count (tools/scale_leg.py) —
             # False means at least one leg fell back to in-process
             "pinned_legs": pinned,
+            # legs rotate their CPU set per trial (start=(trial*8)%32)
+            # so one parked co-tenant core can't rob every small leg
+            "cpu_rotation": "8-aligned windows, start=(trial*8)%32",
             "edges": n_edges,
             "iterations": SCALE_ITERS,
             "trials": len(effs),
@@ -905,7 +924,25 @@ def write_scaling_report(scaling: dict) -> None:
             "shuffle-IO / codegen threads on the other 30 host cores; that\n"
             "subsidy inflates the small leg's throughput and DEFLATES the\n"
             "measured 2→8 efficiency (same hour, same probe: 0.78\n"
-            "in-process vs 0.84 pinned). Each pinned leg warms JIT/codegen\n"
+            "in-process vs 0.84 pinned). PAIR-CONSTANT HEAP: both legs of\n"
+            "the 2/8 pair get the SAME fixed pre-touched 15g heap — the\n"
+            "cached probe and PageRank working set are the same size at\n"
+            "both levels, and a proportional heap (6g at 2 cores) starves\n"
+            "the small leg into eviction/spill (measured same-hour on idle\n"
+            "cores: 483k eps @6g vs 631k eps @15g), manufacturing a\n"
+            "physically-suspicious superlinear 1.15 ratio. Constant heap\n"
+            "isolates the CPU-scaling question the north rule asks; the\n"
+            "proportional-memory model (a real 4N fleet has 4N memory too)\n"
+            "only says the true cluster number would be HIGHER.\n"
+            "CPU-SET ROTATION: each trial's legs run on a different\n"
+            "8-core-aligned window (local[2] cycles 0-1/8-9/16-17/24-25),\n"
+            "because the host's co-tenant interference is hypervisor-level,\n"
+            "invisible to guest steal accounting, and PARKS on specific\n"
+            "cores for minutes (same-hour probe: 565k eps on cores 8-9 vs\n"
+            "732-736k on 0-1/16-17) — a fixed pin lets one parked neighbor\n"
+            "rob every small leg; rotation decorrelates placement so the\n"
+            "cross-pair median sees at most one robbed pair.\n"
+            "Each pinned leg warms JIT/codegen\n"
             "with a 1-iteration PageRank on a small probe graph of the\n"
             "identical plan shape (codegen is keyed by plan shape, not\n"
             "size), loads the full probe eagerly (parquet decode outside\n"

@@ -98,10 +98,26 @@ def main() -> None:
     ap.add_argument("--control", action="store_true",
                     help="run the zero-engine-code Spark SQL control kernel")
     ap.add_argument("--heap", default=None,
-                    help="JVM heap for this leg (default: 3g + 1.5g/core)")
+                    help="JVM heap for this leg (default: pair-constant, "
+                         "3g + 1.5g/core at the 8-core reference leg)")
     args = ap.parse_args()
 
-    heap = args.heap or f"{3 + int(1.5 * args.cores)}g"
+    # PAIR-CONSTANT HEAP: both legs of the N/4N comparison get the 4N
+    # leg's heap (15g at the 2/8 pair), so the efficiency ratio isolates
+    # CPU scaling.  The earlier proportional formula (3g + 1.5g/core →
+    # 6g at 2 cores) starved the small leg: the cached 32M-edge probe
+    # and PageRank working set are the SAME size at both levels, and at
+    # 6g the 2-core leg evicts/spills what the 15g 8-core leg holds in
+    # memory — measured same-hour on idle cores 483k eps @6g vs
+    # 631k eps @15g, which manufactured a physically-suspicious
+    # superlinear 2→8 efficiency of 1.15.  (On a real cluster the 4N
+    # fleet has 4N memory as well as 4N cores, so same-size-data
+    # superlinearity is a genuine effect — but the north rule's
+    # criterion is CPU scaling, and the constant-heap ratio is the
+    # conservative, credible estimate: 0.83 same-hour.)  Legs above 8
+    # cores keep the proportional formula (they need more headroom for
+    # 32 concurrent tasks and sit outside the 2→8 ratio).
+    heap = args.heap or f"{3 + int(1.5 * max(args.cores, 8))}g"
     os.environ["SPARK_DRIVER_MEMORY"] = heap
     # every thread pool inside the JVM sizes to the leg's core count
     apc = f"-XX:ActiveProcessorCount={args.cores}"

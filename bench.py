@@ -916,7 +916,8 @@ def write_scaling_report(scaling: dict) -> None:
             f"Measured as {scaling['trials']} interleaved 2/8 pairs\n"
             "(in-pair order alternating, so monotone host drift cancels).\n"
             "PINNED LEGS (late round 5): every leg runs in a FRESH process\n"
-            "confined to exactly N CPUs via `taskset -c 0..N-1` with\n"
+            "confined to exactly N CPUs via `taskset` (an N-wide window\n"
+            "whose start rotates per trial — see CPU-SET ROTATION) with\n"
             "`-XX:ActiveProcessorCount=N` (tools/scale_leg.py) — the honest\n"
             "model of an N-core executor node. The earlier in-process\n"
             "protocol ran every leg inside one persistent 32-core JVM, so a\n"

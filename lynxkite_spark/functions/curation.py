@@ -39,6 +39,7 @@ from pyspark.sql.types import DoubleType, StructField, StructType
 
 from lynxkite_spark.functions.dedup import portable_hash64, portable_hash64_sql
 from lynxkite_spark.functions.hof import let_array
+from lynxkite_spark.plans.spread import spread_small
 
 
 # --------------------------------------------------------------- helpers
@@ -129,7 +130,7 @@ def gopher_quality_flags(
     # interpreted, no common-subexpression elimination).
     tmp = ("_gw", "_glower", "_glines", "_gdlines")
     base = (
-        df.drop(*tmp)
+        spread_small(df).drop(*tmp)
         .withColumn("_gw", _words(F.col(text_col)))
         .withColumn("_glower", F.transform(F.col("_gw"), lambda x: F.lower(x)))
         .withColumn("_glines", _lines(F.col(text_col)))
@@ -207,7 +208,13 @@ def gopher_quality_flags(
         & (F.col("dup_line_char_frac") <= p["max_dup_line_char_frac"])
         & (F.col("top_word_frac") <= p["max_top_word_frac"])
     )
-    return out.withColumn("keep", keep).drop(*tmp)
+    # opaque_true: a caller's where("keep") must evaluate the metric
+    # columns above, once, at the spread parallelism — not re-derive the
+    # whole HOF suite inside a filter pushed to the (possibly single-
+    # partition) scan (plans.spread.opaque_true)
+    from lynxkite_spark.plans.spread import opaque_true
+
+    return out.withColumn("keep", keep & opaque_true(out)).drop(*tmp)
 
 
 # -------------------------------------------- Gopher A1.2 n-gram repetition
@@ -312,16 +319,20 @@ def gopher_repetition_flags(
     version)."""
     p = dict(GOPHER_REPETITION_DEFAULTS, **thresholds)
     out_cols = ["rep_keep", *_REP_NAMES]
-    base = df.drop(*[c for c in out_cols if c in df.columns])
+    base = spread_small(df).drop(*[c for c in out_cols if c in df.columns])
     m = _rep_metrics_udf(F.coalesce(F.col(text_col), F.lit("")))
     with_m = base.withColumn("_rep", m)
     keep = F.lit(True)
     for name in _REP_NAMES:
         keep = keep & (F.col("_rep")[name] <= F.lit(p[f"max_{name}"]))
+    # opaque_true: stop a downstream where("rep_keep") from cloning the
+    # Arrow UDF below the filter (§4.4 duplicated ArrowEvalPython)
+    from lynxkite_spark.plans.spread import opaque_true
+
     return with_m.select(
         *base.columns,
         *[F.col("_rep")[name].alias(name) for name in _REP_NAMES],
-        keep.alias("rep_keep"),
+        (keep & opaque_true(with_m)).alias("rep_keep"),
     )
 
 
@@ -421,7 +432,7 @@ def contaminated_docs(
         )
         .distinct()
     )
-    doc_grams = docs.select(
+    doc_grams = spread_small(docs).select(
         F.col(id_col), F.explode(ngram_hashes(F.col(text_col), n, portable)).alias("g")
     )
     hits = doc_grams.join(F.broadcast(bench_grams), "g", "left_semi")
@@ -787,7 +798,7 @@ def _dsir_bucket_logprobs(
     expression over the same BIGINT counts and the same ``denom``."""
     spark = docs.sparkSession
     rows = (
-        docs.select(
+        spread_small(docs).select(
             F.explode(
                 hashed_ngram_buckets(F.col(text_col), n_buckets, ns, portable)
             ).alias("bucket")
@@ -799,10 +810,21 @@ def _dsir_bucket_logprobs(
     counts = {r["bucket"]: r["cnt"] for r in rows}
     total = sum(counts.values())  # exact integer sum
     denom = float(total) + alpha * n_buckets
-    local = spark.createDataFrame(
-        [(b, counts.get(b, 0)) for b in range(n_buckets)],
-        "bucket int, cnt bigint",
+    # Arrow-backed local relation: one batch instead of n_buckets
+    # pickled rows (the list-of-tuples path cost ~0.5 s per fit at 4096
+    # buckets; two fits per dsir call). Identical rows and schema.
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "bucket": np.arange(n_buckets, dtype=np.int32),
+            "cnt": np.asarray(
+                [counts.get(b, 0) for b in range(n_buckets)], dtype=np.int64
+            ),
+        }
     )
+    local = spark.createDataFrame(pdf, "bucket int, cnt bigint")
     return local.select(
         "bucket",
         F.log((F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
@@ -852,7 +874,7 @@ def dsir_log_weights(
             .alias("ratio_q"),
         )
     )
-    grams = raw.select(
+    grams = spread_small(raw).select(
         F.col(id_col),
         F.explode_outer(
             hashed_ngram_buckets(F.col(text_col), n_buckets, ns, portable)

@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from lynxkite_spark.plans.spread import spread_small
+
 from .hof import let_array
 
 
@@ -59,16 +61,19 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     Scale shape: the shuffle key is sha2-256 of the normalized text (32
     bytes), never the text itself — at corpus scale shuffling full
     documents as grouping keys would move the corpus through the
-    exchange twice. min() partial-aggregates map-side; the join back is
-    on the same fixed-width key."""
-    keyed = df.select(
+    exchange twice. The keeper is ``min(id) OVER (PARTITION BY _k)``:
+    ONE exchange and ONE pass of the normalize+sha2 over the text (the
+    earlier groupBy+join-back shape evaluated the text hashing twice —
+    once under the aggregate, once under the join probe side — and paid
+    a second exchange plus a broadcast for the join)."""
+    keyed = spread_small(df).select(
         F.col(id_col), F.sha2(normalized(F.col(text_col)), 256).alias("_k")
     )
-    keepers = keyed.groupBy("_k").agg(F.min(id_col).alias("keeper"))
-    return keyed.join(keepers, "_k").select(
+    keeper = F.min(id_col).over(W.partitionBy("_k"))
+    return keyed.select(
         id_col,
-        "keeper",
-        (F.col(id_col) != F.col("keeper")).alias("is_duplicate"),
+        keeper.alias("keeper"),
+        (F.col(id_col) != keeper).alias("is_duplicate"),
     )
 
 
@@ -115,6 +120,7 @@ def minhash_signatures(
     collision. ``hash_fn="portable"`` keeps the md5-derived per-(shingle,
     i) values bit-exactly (the DuckDB gate oracle replays that path).
     Returns DataFrame[<id>, sig: array<bigint>]."""
+    df = spread_small(df)  # signature math is per-row heavy: widen tiny inputs
     shs = word_shingles(F.col(text_col), shingle_k)
     if hash_fn == "portable":
         shingled = df.select(F.col(id_col), shs.alias("_hs"))
@@ -310,7 +316,7 @@ def ngram_jaccard_pairs(
             .distinct()
         )
         sets_ = materialize(
-            df.join(cand_ids, id_col, "left_semi").select(
+            spread_small(df).join(cand_ids, id_col, "left_semi").select(
                 F.col(id_col).alias("_id"),
                 F.transform(
                     word_shingles(F.col(text_col), shingle_k),
@@ -344,7 +350,7 @@ def ngram_jaccard_pairs(
         )
         return scored.where(F.col("jaccard") >= threshold)
     # Discovery path (small corpora): all pairs sharing >= 1 shingle.
-    sh = df.select(
+    sh = spread_small(df).select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
     ).distinct()
@@ -439,7 +445,7 @@ def simhash(
 
     ``hash_fn="portable"`` yields a 60-bit feature hash (bits 60+ of the
     signature are then always 0) — use bits=60 with it."""
-    hashed = df.select(
+    hashed = spread_small(df).select(
         F.col(id_col),
         F.transform(
             word_shingles(F.col(text_col), shingle_k),

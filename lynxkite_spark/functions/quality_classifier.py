@@ -59,6 +59,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+from lynxkite_spark.plans.spread import spread_small
+
 from .curation import hashed_ngram_buckets
 
 QSCALE = 1_000_000  # integer ticks: 1e-6 resolution in weight/error space
@@ -161,8 +163,12 @@ _ERR_SCHEMA = StructType(
 
 def _weight_array(w_q: np.ndarray) -> Column:
     """The quantized weight vector as ONE array<bigint> plan literal —
-    broadcast to every task with the serialized plan, no join."""
-    return F.lit([int(x) for x in w_q])
+    broadcast to every task with the serialized plan, no join. Passed
+    as a numpy int64 array: ONE py4j literal (~10 ms to analyze) where
+    a Python list built a 4096-deep CreateArray through 4096 py4j round
+    trips (~1.5 s of driver wall per query). Same values (int64 →
+    array<bigint>)."""
+    return F.lit(np.ascontiguousarray(w_q, dtype=np.int64))
 
 
 def _int_dot(buckets: Column, warr: Column) -> Column:
@@ -201,16 +207,29 @@ def train_quality_classifier(
     building a 4096-element F.lit through py4j plus analyzing it
     dominated iteration wall (~3s/iter at 96 docs; ~0.6s/iter after).
     The labeled sample is featurized once and cached."""
-    feat = docs.select(
-        F.col(label_col).cast("double").alias("_y"),
-        hashed_ngram_buckets(
-            F.coalesce(F.col(text_col), F.lit("")), n_buckets, ns, portable
-        ).alias("_bk"),
-    ).persist()
-    n_docs = feat.count()
+    # Right-size the cached sample's partitioning to its row count: a
+    # tiny labeled set parallelized over the session default (e.g. 96
+    # docs in 32 partitions of 3) pays ~parallelism Arrow-UDF task
+    # launches per iteration for no parallel work. ~10k docs/partition;
+    # gradients are exact integer tick sums, so the result is
+    # partitioning-invariant by construction (pytest-enforced).
+    n_docs = docs.count()
     if n_docs == 0:
-        feat.unpersist()
         raise ValueError("train_quality_classifier: empty training set")
+    spark = docs.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ideal = max(1, min(n_part, (n_docs + 9_999) // 10_000))
+    feat = (
+        docs.select(
+            F.col(label_col).cast("double").alias("_y"),
+            hashed_ngram_buckets(
+                F.coalesce(F.col(text_col), F.lit("")), n_buckets, ns, portable
+            ).alias("_bk"),
+        )
+        .repartition(ideal)
+        .persist()
+    )
+    feat.count()
     w = np.zeros(n_buckets, dtype=np.float64)
     bias = 0.0
     try:
@@ -325,7 +344,7 @@ def score_quality(
     if portable is None:
         portable = model.get("hash", "xxhash64") == "portable"
     out_cols = ("n_grams", "score_q", "quality_prob", "keep")
-    base = df.drop(*[c for c in out_cols if c in df.columns])
+    base = spread_small(df).drop(*[c for c in out_cols if c in df.columns])
     b_q = int(model["bias_q"])
     if arrow:
         if not portable:
@@ -381,6 +400,12 @@ def score_quality(
     else:
         logit = float(np.log(threshold / (1.0 - threshold)))
         keep = z > F.lit(logit)
+    # opaque_true: a downstream where("keep") must read the computed
+    # column, not re-derive the integer fold inside a pushed filter at
+    # the scan's parallelism (plans.spread.opaque_true)
+    from lynxkite_spark.plans.spread import opaque_true
+
+    keep = keep & opaque_true(with_bk)
     return with_bk.select(
         *base.columns,
         n.alias("n_grams"),

@@ -15,6 +15,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from lynxkite_spark.plans.spread import spread_small
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -56,7 +58,7 @@ def brute_force_topk(
             norm(F.col(vec_col)).alias("_qn"),
         )
     )
-    c = _as_double(corpus, vec_col).select(
+    c = _as_double(spread_small(corpus), vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
         norm(F.col(vec_col)).alias("_cn"),
     )
@@ -91,11 +93,22 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return planes
 
 
+def _plane_lit(plane: list[float]) -> Column:
+    """One hyperplane as a single array<double> literal. A numpy array
+    becomes ONE py4j literal; a list comprehension of F.lit() built a
+    64-deep CreateArray through 64 py4j round trips per plane — at 32
+    planes that was ~2000 driver round trips (~1 s of plan-build wall)
+    per signature expression. Identical doubles either way."""
+    import numpy as np
+
+    return F.lit(np.ascontiguousarray(plane, dtype=np.float64))
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket id: bit p = (vec · plane_p) > 0."""
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
-        d = dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
+        d = dot(vec, _plane_lit(plane))
         bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 
@@ -108,8 +121,7 @@ def banded_codes(vec: Column, planes: list[list[float]], n_planes: int,
     for b in range(bands):
         code = F.lit(0).cast("long")
         for p in range(n_planes):
-            d = dot(vec, F.array(
-                *[F.lit(float(x)) for x in planes[b * n_planes + p]]))
+            d = dot(vec, _plane_lit(planes[b * n_planes + p]))
             code = code + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
         codes.append(code)
     return codes
@@ -279,6 +291,9 @@ def ann_lsh_topk(
         raise ValueError(f"unknown profile {profile!r}")
     n_planes = 8 if n_planes is None else n_planes
     bands = 4 if bands is None else bands
+    # the per-row signature math (n_planes*bands interpreted HOF dots)
+    # serializes on an under-split tiny corpus: widen it first
+    corpus = spread_small(corpus)
     # Vectors and norms are joined back AFTER the (band, code) join +
     # dedup: the exploded candidate stream is the big thing here (corpus
     # ×bands rows, then up to |q|×|bucket| candidate pairs), so it must
@@ -397,7 +412,7 @@ def embedding_near_duplicates(
     collide at ~4·2⁻⁸ (bands=1 reverts to the old single-bucket
     signature). Returns DataFrame[a, b, cosine_sim]."""
     planes = random_hyperplanes(dim, max(n_planes * bands, n_planes), seed)
-    d = _as_double(corpus, vec_col)
+    d = _as_double(spread_small(corpus), vec_col)
     # skinny candidate stream + single norm per vector (see ann_lsh_topk:
     # the bucket self-join and its dedup must never carry the embedding)
     vecs = d.select(

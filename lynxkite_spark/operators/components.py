@@ -38,7 +38,7 @@ def _symmetrized(edges: DataFrame) -> DataFrame:
     return e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, broadcast_m: bool = False) -> DataFrame:
     """large-star (Kiveris et al., CC-MR): over both orientations, for
     each node u with neighborhood N(u): m = min(N(u) ∪ {u}); emit
     (v, m) for every v ∈ N(u) with v > u. Preserves connectivity."""
@@ -50,17 +50,20 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .agg(F.min("dst").alias("mn"))
         .select("src", F.least(F.col("mn"), F.col("src")).alias("m"))
     )
-    # hash-build the (vertex-sized) min table so the big edge stream is
-    # never sorted (same discipline as the PageRank gather join)
+    # While the min table is vertex-sized-small, broadcast it — the edge
+    # stream is then never exchanged for the relink join at all; above
+    # the threshold, hash-build it so the big stream is at least never
+    # sorted (same discipline as the PageRank gather join).
+    m = F.broadcast(m) if broadcast_m else m.hint("shuffle_hash")
     return (
-        sym.join(m.hint("shuffle_hash"), "src")
+        sym.join(m, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .distinct()
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, broadcast_m: bool = False) -> DataFrame:
     """small-star: orient each edge large→small; for each u over its
     smaller neighbors N: m = min(N ∪ {u}); emit (v, m) for every
     v ∈ N ∪ {u}, v ≠ m. Preserves connectivity."""
@@ -68,7 +71,8 @@ def _small_star(edges: DataFrame) -> DataFrame:
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).where(F.col("src") != F.col("dst"))
     m = oriented.groupBy("src").agg(F.min("dst").alias("m"))
-    relinked = oriented.join(m.hint("shuffle_hash"), "src").select(
+    mb = F.broadcast(m) if broadcast_m else m.hint("shuffle_hash")
+    relinked = oriented.join(mb, "src").select(
         F.col("dst").alias("src"), F.col("m").alias("dst")
     )
     self_link = m.select("src", F.col("m").alias("dst"))
@@ -106,6 +110,11 @@ def connected_components(
     fp = input_fingerprint or "anon"
 
     if algorithm == "star":
+        # per-round min tables are bounded by the (shrinking) vertex
+        # count: broadcast them below the same threshold pagerank uses
+        # for its rank table — the contracted edge stream then never
+        # shuffles for the relink joins, only for groupBy/distinct
+        broadcast_m = graph.vertices.count() <= 200_000
         e = materialize(edges)
         start_iter = 0
         if checkpoint is not None:
@@ -119,7 +128,9 @@ def connected_components(
         for it in range(start_iter, max_iterations):
             # cut lineage every round — star contraction references e
             # multiple times per iteration (plan growth, see materialize)
-            new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+            new_e = _small_star(
+                _large_star(e, broadcast_m), broadcast_m
+            ).localCheckpoint(eager=False)
             new_count = new_e.count()
             # converged when the edge set is stable (star graph reached):
             # equal cardinality and no edge outside the old set

@@ -78,9 +78,16 @@ def _init_registers(
     )
 
 
-def _estimates(state: DataFrame, vertices: DataFrame, log2m: int) -> DataFrame:
+def _estimates(
+    state: DataFrame, vertices: DataFrame, log2m: int, complete: bool = False
+) -> DataFrame:
     """HLL cardinality per vertex from the sparse register table.
-    Returns DataFrame[id, e: double]."""
+    Returns DataFrame[id, e: double].
+
+    ``complete=True`` asserts every vertex has >= 1 state row (true for
+    the hyperball loop: init seeds one register per vertex and the
+    monotone union never drops rows), skipping the per-round left join
+    against the vertex table — the estimate expression is identical."""
     m = 1 << log2m
     alpha = _alpha(m)
     per_v = state.groupBy("id").agg(
@@ -95,6 +102,8 @@ def _estimates(state: DataFrame, vertices: DataFrame, log2m: int) -> DataFrame:
         (raw <= F.lit(2.5 * m)) & (v_zero > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
     ).otherwise(raw)
+    if complete:
+        return per_v.select("id", est.alias("e"))
     return vertices.join(per_v.hint("shuffle_hash"), "id", "left").select(
         "id", F.coalesce(est, F.lit(0.0)).alias("e")
     )
@@ -122,6 +131,12 @@ def hyperball(
     the sketches are a fixed point — the sketch union is monotone, so
     an unchanged signature means convergence (use for effective
     diameter, where max_distance is a generous cap, not a target)."""
+    # NOT pre-partitioned by src (unlike kcore/betweenness): the gather
+    # join's output feeds a partial aggregation whose compression ratio
+    # falls with map-partition count — pinning the edge table to the
+    # static session partitioning disabled AQE's coalescing of the join
+    # stage and measurably grew the merge shuffle (627 MB → 886 MB at
+    # sf0.1). Letting AQE size the join stage wins here.
     e = (
         graph.edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
@@ -130,7 +145,10 @@ def hyperball(
     )
     vertices = graph.vertices.select("id").persist(StorageLevel.MEMORY_AND_DISK)
     state = _init_registers(vertices, log2m, hash_fn, seed).localCheckpoint(eager=True)
-    est = _estimates(state, vertices, log2m)
+    # complete=True: init seeds one register per vertex and the monotone
+    # union never drops rows, so every vertex always has state — the
+    # per-round left join against the vertex table is redundant
+    est = _estimates(state, vertices, log2m, complete=True)
     acc = est.select(
         "id",
         F.col("e").alias("prev"),
@@ -153,7 +171,11 @@ def hyperball(
             .agg(F.max("reg").alias("reg"))
             .localCheckpoint(eager=True)
         )
-        est = _estimates(state, vertices, log2m)
+        est = _estimates(state, vertices, log2m, complete=True)
+        # lazy checkpoint: the accumulator chain is vertex-sized and
+        # referenced once per round — cutting lineage lazily drops one
+        # scheduled job per round (the final action materializes the
+        # chain level by level)
         acc = (
             acc.join(est.hint("shuffle_hash"), "id")
             .select(
@@ -166,7 +188,7 @@ def hyperball(
                     "sum_d"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if keep_rounds:
             rounds.append(est.select("id", F.lit(t).alias("t"), "e"))

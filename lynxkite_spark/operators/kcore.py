@@ -31,7 +31,9 @@ from pyspark.storagelevel import StorageLevel
 from lynxkite_spark.graph import Graph
 
 
-def h_index_per_vertex(msgs: DataFrame, est: DataFrame) -> DataFrame:
+def h_index_per_vertex(
+    msgs: DataFrame, est: DataFrame, broadcast_est: bool = False
+) -> DataFrame:
     """h-index of each vertex's gathered neighbor estimates,
     window-free on the raw neighborhood: msgs[id, n_est] → h[id, h].
 
@@ -40,9 +42,13 @@ def h_index_per_vertex(msgs: DataFrame, est: DataFrame) -> DataFrame:
     the per-vertex value domain), then histogrammed with a map-side-
     combinable groupBy. The only window runs over that small histogram:
     h = max over present values t of min(t, #neighbors ≥ t)."""
-    capped = msgs.join(
-        est.select("id", F.col("est").alias("_cap")).hint("shuffle_hash"), "id"
-    ).select("id", F.least(F.col("n_est"), F.col("_cap")).alias("t"))
+    cap_tbl = est.select("id", F.col("est").alias("_cap"))
+    cap_tbl = (
+        F.broadcast(cap_tbl) if broadcast_est else cap_tbl.hint("shuffle_hash")
+    )
+    capped = msgs.join(cap_tbl, "id").select(
+        "id", F.least(F.col("n_est"), F.col("_cap")).alias("t")
+    )
     hist = capped.groupBy("id", "t").agg(F.count(F.lit(1)).alias("c"))
     win = (
         W.partitionBy("id")
@@ -62,13 +68,26 @@ def core_decomposition(graph: Graph, max_iterations: int = 100) -> DataFrame:
     CoreDecomposition convention). Returns DataFrame[id, core];
     isolated vertices have core 0.
     """
+    spark = graph.vertices.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    # pre-partitioned by src: the per-round gather join then never
+    # exchanges the (big, static) edge table — only the vertex-sized
+    # estimate table moves (and while small, it broadcasts instead)
     sym = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .repartition(n_part, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     vertices = graph.vertices.select("id").persist(StorageLevel.MEMORY_AND_DISK)
+    n_vertices = vertices.count()
+    # same trade as pagerank's broadcast_ranks: while the estimate table
+    # is small, ship it into the joins as a broadcast — zero exchanges of
+    # the edge stream per round; past the threshold the shuffle-hash path
+    # takes over (a multi-million-row broadcast build is serial driver
+    # work that caps scaling)
+    broadcast_est = n_vertices <= 200_000
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("est"))
     est = (
         vertices.join(deg, "id", "left")
@@ -78,29 +97,25 @@ def core_decomposition(graph: Graph, max_iterations: int = 100) -> DataFrame:
     for _ in range(max_iterations):
         # gather neighbor estimates onto dst, then per-vertex h-index:
         # sorted desc, h = max(min(est_i, i))
-        msgs = sym.join(
-            est.select(F.col("id").alias("src"), F.col("est").alias("n_est")).hint(
-                "shuffle_hash"
-            ),
-            "src",
-        ).select(F.col("dst").alias("id"), "n_est")
-        h = h_index_per_vertex(msgs, est)
+        gather = est.select(F.col("id").alias("src"), F.col("est").alias("n_est"))
+        gather = (
+            F.broadcast(gather) if broadcast_est else gather.hint("shuffle_hash")
+        )
+        msgs = sym.join(gather, "src").select(F.col("dst").alias("id"), "n_est")
+        h = h_index_per_vertex(msgs, est, broadcast_est=broadcast_est)
+        # carry the previous estimate through the checkpoint: the change
+        # check is then a scan of the new table, not a join + extra pass
         new_est = (
-            est.join(h, "id", "left")
+            est.join(F.broadcast(h) if broadcast_est else h, "id", "left")
             .select(
                 "id",
                 F.least(F.col("est"), F.coalesce(F.col("h"), F.lit(0))).alias("est"),
+                F.col("est").alias("_old"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized by the change check
         )
-        changed = (
-            new_est.alias("n")
-            .join(est.alias("o"), "id")
-            .where(F.col("n.est") != F.col("o.est"))
-            .limit(1)
-            .count()
-        )
-        est = new_est
+        changed = new_est.where(F.col("est") != F.col("_old")).limit(1).count()
+        est = new_est.drop("_old")
         if changed == 0:
             break
     sym.unpersist()

@@ -31,6 +31,7 @@ def label_propagation(
     checkpoint=None,
     checkpoint_every: int = 10,
     input_fingerprint: str | None = None,
+    broadcast_threshold: int = 200_000,
 ) -> DataFrame:
     """Returns belongs_to: DataFrame[id: long, label: long].
 
@@ -64,14 +65,23 @@ def label_propagation(
                 start_iter = k
                 break
     labels = materialize(labels.repartition(n_part, "id"))
+    # Broadcast the vertex-sized label table into the gather join while
+    # it is small (same trade as pagerank's broadcast_ranks): the big
+    # edge stream is then never exchanged OR sorted per round — the only
+    # corpus-sized shuffle left is the map-side-combinable vote count.
+    # Above the threshold the shuffle-hash gather takes over (building a
+    # multi-million-row broadcast is serial driver work that caps
+    # scaling).
+    broadcast_labels = graph.vertices.count() <= broadcast_threshold
 
     for it in range(start_iter, max_iterations):
         # gather neighbor labels onto dst; per-(dst,label) weight sums are
         # map-side combinable, so hub vertices don't skew the shuffle
         # hash-build the vertex-sized label table: the big edge stream is
         # never sorted per round (PageRank gather-join discipline)
+        lbl = F.broadcast(labels) if broadcast_labels else labels.hint("shuffle_hash")
         votes = (
-            sym.join(labels.hint("shuffle_hash"), sym.src == labels.id)
+            sym.join(lbl, sym.src == labels.id)
             .groupBy("dst", "label")
             .agg(F.sum("weight").alias("w"))
         )
@@ -80,20 +90,23 @@ def label_propagation(
         best = votes.groupBy("dst").agg(
             F.max_by("label", F.struct(F.col("w"), -F.col("label"))).alias("new_label")
         )
+        best = F.broadcast(best) if broadcast_labels else best
+        # carry the previous label through the checkpoint so the change
+        # check is a scan of the new table, not a second join (the join
+        # shape cost one more exchange + action per round)
         new_labels = (
             labels.join(best, labels.id == best.dst, "left")
-            .select("id", F.coalesce("new_label", "label").alias("label"))
-            .repartition(n_part, "id")
+            .select(
+                "id",
+                F.coalesce("new_label", "label").alias("label"),
+                F.col("label").alias("_old"),
+            )
             .localCheckpoint(eager=False)  # materialized by the change check
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_labels.where(F.col("label") != F.col("_old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.drop("_old")
         if checkpoint is not None and (it + 1) % checkpoint_every == 0:
             labels = checkpoint.save(
                 labels,

@@ -42,6 +42,7 @@ from pyspark.storagelevel import StorageLevel
 from lynxkite_spark.graph import Graph
 from lynxkite_spark.plans.checkpoint import CheckpointManager, materialize, step_key
 from lynxkite_spark.plans.skew import hot_keys, hybrid_join
+from lynxkite_spark.plans.spread import plan_is_expensive as _plan_is_expensive
 
 
 def pagerank(
@@ -73,12 +74,29 @@ def pagerank(
         edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
 
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # normalize per source once; keep partitioned by src for all iterations
-    out_w = edges.groupBy("src").agg(F.sum("weight").alias("w_out"))
+    # Expensive-to-recompute inputs (a derived edge table: joins,
+    # aggregations, Python stages) are persisted ONCE up front — the
+    # setup below otherwise re-executes the input plan for the edge
+    # normalization, the source set and the vertex union separately
+    # (measured: the corpus-derive bench input ran its mapInPandas
+    # generator 4x per pagerank call). Cheap inputs (a bare scan of a
+    # file/cached relation) skip the extra copy.
+    edges_pinned = None
+    if _plan_is_expensive(edges):
+        edges_pinned = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        edges = edges_pinned
+    # Normalize per source in ONE pass with a window sum over the
+    # src-partitioned edges (the groupBy+join-back shape scanned the
+    # input twice and paid a second exchange + join); stays partitioned
+    # by src for all iterations. Weight sums are per-src float adds in
+    # sort order — for the constant-1.0 and integer-count weights every
+    # caller uses, the totals are exact, so values are unchanged.
+    from pyspark.sql import Window as W
+
+    w_out = F.sum("weight").over(W.partitionBy("src"))
     en = (
-        edges.join(out_w, "src")
-        .select("src", "dst", (F.col("weight") / F.col("w_out")).alias("wn"))
-        .repartition(n_part, "src")
+        edges.repartition(n_part, "src")
+        .select("src", "dst", (F.col("weight") / w_out).alias("wn"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # rank state carries has_out so the dangling-mass total needs no pass
@@ -87,8 +105,9 @@ def pagerank(
     # exact algebraic identity that turns the global total into a scan of
     # the (small, cached) rank table instead of a second consumption of
     # the expensive gather join.
+    en.count()  # materialize the normalized edges once
     srcs = (
-        edges.select(F.col("src").alias("id"))
+        en.select(F.col("src").alias("id"))  # from the cache, not the input
         .distinct()
         .withColumn("has_out", F.lit(True))
     )
@@ -100,19 +119,35 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_vertices = vertices.count()
+    if edges_pinned is not None:
+        edges_pinned.unpersist()
     if n_vertices == 0:
         return vertices.select("id").withColumn("pagerank", F.lit(0.0))
-    en.count()  # materialize the normalized edges once
+
+    # localCheckpoint output (LogicalRDD) carries no size stats, so
+    # Catalyst can't see that the rank table is broadcastable — hint it
+    # explicitly while |V| is small. Building a broadcast relation is a
+    # SERIAL driver-side step repeated every iteration; measured on this
+    # box it stops paying for itself around a few hundred thousand rows,
+    # and past that it caps scaling (the parallel join is fast, the
+    # broadcast build is not). Above the threshold the co-partitioned
+    # shuffle join (or the hybrid hot-key split) takes over.
+    broadcast_ranks = n_vertices <= broadcast_threshold
 
     # hot-key set for the gather join, computed once (HybridRDD semantics);
     # when no key crosses the threshold the plain shuffle join is used —
-    # the hybrid split costs two extra joins per iteration for nothing
-    if skew_threshold is None:
-        from lynxkite_spark.session import HOT_KEY_THRESHOLD
+    # the hybrid split costs two extra joins per iteration for nothing.
+    # Skipped entirely in broadcast mode (a broadcast join has no skew to
+    # split — the aggregate pass would be paid for nothing).
+    use_hybrid = False
+    hot = None
+    if not broadcast_ranks:
+        if skew_threshold is None:
+            from lynxkite_spark.session import HOT_KEY_THRESHOLD
 
-        skew_threshold = HOT_KEY_THRESHOLD
-    hot = hot_keys(en, "src", skew_threshold).persist(StorageLevel.MEMORY_AND_DISK)
-    use_hybrid = hot.count() > 0
+            skew_threshold = HOT_KEY_THRESHOLD
+        hot = hot_keys(en, "src", skew_threshold).persist(StorageLevel.MEMORY_AND_DISK)
+        use_hybrid = hot.count() > 0
 
     params = {"damping": damping, "iterations": iterations, "tol": tol, "direction": direction}
     fp = input_fingerprint or "anon"
@@ -136,15 +171,22 @@ def pagerank(
 
     limit = iterations if iterations is not None else max_iterations
     history: list[dict] = []
-    # localCheckpoint output (LogicalRDD) carries no size stats, so
-    # Catalyst can't see that the rank table is broadcastable — hint it
-    # explicitly while |V| is small. Building a broadcast relation is a
-    # SERIAL driver-side step repeated every iteration; measured on this
-    # box it stops paying for itself around a few hundred thousand rows,
-    # and past that it caps scaling (the parallel join is fast, the
-    # broadcast build is not). Above the threshold the co-partitioned
-    # shuffle join (or the hybrid hot-key split) takes over.
-    broadcast_ranks = n_vertices <= broadcast_threshold
+    # Convergence mode folds the dangling-mass total into the SAME
+    # driver action that computes the delta: the previous iteration's
+    # agg returns (max |Δ|, Σ rank over has_out) together, and the total
+    # enters the next plan as a literal — removing the per-iteration
+    # 1-row aggregate subtree + its broadcast build. The literal is the
+    # identical double (same partial/final sum plan over the same
+    # materialized table; py4j round-trips doubles exactly).
+    converge = tol is not None and iterations is None
+    tot_lit: float | None = None
+    if converge:
+        tot_lit = damping * float(
+            ranks.where(F.col("has_out"))
+            .agg(F.sum("pagerank").alias("s"))
+            .first()["s"]
+            or 0.0
+        )
 
     for k in range(start_iter + 1, limit + 1):
         rank_lookup = ranks.select(F.col("id").alias("src"), "pagerank")
@@ -160,30 +202,35 @@ def pagerank(
         contrib = gathered.groupBy("dst").agg(
             (F.sum(F.col("pagerank") * F.col("wn")) * F.lit(damping)).alias("incoming")
         )
-        # dangling-mass total from the cached rank table (identity above):
-        # a broadcast 1-row agg in-plan — zero driver actions in the loop
-        # body for fixed-iteration mode, one (the delta) for convergence
-        tot = ranks.where(F.col("has_out")).agg(
-            (F.sum("pagerank") * F.lit(damping)).alias("_tot")
-        )
-        new_ranks = (
-            ranks.crossJoin(F.broadcast(tot))
-            .join(
-                contrib if broadcast_ranks else contrib.hint("shuffle_hash"),
-                ranks.id == contrib.dst,
-                "left",
+        if converge:
+            # dangling-mass total as a literal (computed by the previous
+            # iteration's fused delta action — see above)
+            uniform = (F.lit(float(n_vertices)) - F.lit(tot_lit)) / F.lit(
+                float(n_vertices)
             )
-            .select(
-                "id",
-                "has_out",
-                (
-                    F.coalesce(F.col("incoming"), F.lit(0.0))
-                    + (F.lit(float(n_vertices)) - F.coalesce(F.col("_tot"), F.lit(0.0)))
-                    / F.lit(float(n_vertices))
-                ).alias("pagerank"),
+        else:
+            # fixed-iteration mode stays fully lazy: the total is a
+            # broadcast 1-row agg in-plan over the cached rank table —
+            # zero driver actions in the loop body
+            tot = ranks.where(F.col("has_out")).agg(
+                (F.sum("pagerank") * F.lit(damping)).alias("_tot")
             )
+            uniform = (
+                F.lit(float(n_vertices)) - F.coalesce(F.col("_tot"), F.lit(0.0))
+            ) / F.lit(float(n_vertices))
+        base = ranks if converge else ranks.crossJoin(F.broadcast(tot))
+        new_ranks = base.join(
+            contrib if broadcast_ranks else contrib.hint("shuffle_hash"),
+            ranks.id == contrib.dst,
+            "left",
+        ).select(
+            "id",
+            "has_out",
+            (F.coalesce(F.col("incoming"), F.lit(0.0)) + uniform).alias("pagerank"),
+            *([F.col("pagerank").alias("_prev")] if converge else []),
         )
-        if checkpoint is not None and (k % checkpoint_every == 0 or k == limit):
+        ckpt_due = checkpoint is not None and (k % checkpoint_every == 0 or k == limit)
+        if ckpt_due and not converge:
             key = step_key(fp, "pagerank", params, k)
             new_ranks = checkpoint.save(
                 new_ranks, key, metrics={"iteration": k, "history": history}
@@ -193,23 +240,33 @@ def pagerank(
         # time is exponential without truncation
         new_ranks = new_ranks.localCheckpoint(eager=False)
 
-        if tol is not None and iterations is None:
-            old = F.broadcast(ranks) if broadcast_ranks else ranks
-            delta = (
-                new_ranks.alias("n")
-                .join(old.alias("o"), "id")
-                .agg(F.max(F.abs(F.col("n.pagerank") - F.col("o.pagerank"))).alias("d"))
-                .first()["d"]
-            )
+        if converge:
+            # ONE action per iteration: materializes the checkpoint and
+            # returns (max |Δrank|, next dangling-mass total) together —
+            # the old shape joined new vs old ranks in a second pass and
+            # ran the total as a separate in-plan aggregate + broadcast
+            row = new_ranks.agg(
+                F.max(F.abs(F.col("pagerank") - F.col("_prev"))).alias("d"),
+                F.sum(F.when(F.col("has_out"), F.col("pagerank"))).alias("s"),
+            ).first()
+            delta = row["d"]
+            tot_lit = damping * float(row["s"] or 0.0)
             history.append({"iteration": k, "max_delta": delta})
-            ranks = new_ranks
-            if delta < tol:
+            ranks = new_ranks.drop("_prev")
+            if ckpt_due:
+                # write from the already-materialized local checkpoint
+                key = step_key(fp, "pagerank", params, k)
+                ranks = checkpoint.save(
+                    ranks, key, metrics={"iteration": k, "history": history}
+                )
+            if delta is not None and delta < tol:
                 break
         else:
             # fixed mode defers all execution to the caller's action
             ranks = new_ranks
 
     en.unpersist()
-    hot.unpersist()
+    if hot is not None:
+        hot.unpersist()
     vertices.unpersist()
     return ranks.select("id", "pagerank")

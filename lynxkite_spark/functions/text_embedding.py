@@ -117,6 +117,10 @@ def text_embedding(
             )
 
     id_type = dict(df.dtypes)[id_col]
-    return df.select(id_col, text_col).mapInPandas(
+    from lynxkite_spark.plans.spread import spread_small
+
+    # widen under-split inputs: the encoder is per-row CPU work, and a
+    # one-row-group parquet table otherwise encodes on a single core
+    return spread_small(df.select(id_col, text_col)).mapInPandas(
         run, schema=f"{id_col} {id_type}, {alias} array<double>"
     )

@@ -80,18 +80,18 @@ def betweenness_centrality(
     (NetworKit's Betweenness convention: directed=false). Returns
     DataFrame[id, betweenness] — δ-dependencies summed over k roots,
     scaled by n/k (exact when k ≥ n)."""
-    spark = graph.vertices.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # NOT pre-partitioned (tried in r6, reverted): pinning src- and
+    # dst-partitioned copies saved the per-hop exchanges of the edge
+    # table but disabled AQE's coalescing of the frontier-join stages,
+    # which made the σ-sum partial aggregation compress worse — net
+    # shuffle GREW (330→373 MB at sf0.1) and walls were flat-to-worse
+    # across repeated A/B runs. Same effect as hyperball's merge join.
     e0 = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
-    # pre-partitioned by src for the forward frontier joins; a second
-    # dst-partitioned copy serves the backward dependency joins — each
-    # loop then only exchanges the (k·frontier)-sized state, never the
-    # static edge table
-    sym = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    e = sym.repartition(n_part, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    e_by_dst = sym.repartition(n_part, "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    e = (
+        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     vertices = graph.vertices.select("id").persist(StorageLevel.MEMORY_AND_DISK)
     n = vertices.count()
     if roots is None:
@@ -116,7 +116,7 @@ def betweenness_centrality(
         )
         # v at depth d contributes along v→w edges to w at depth d+1
         contrib = (
-            succ.join(e_by_dst, "dst")
+            succ.join(e, "dst")
             .groupBy("root", F.col("src").alias("id"))
             .agg(
                 F.sum((F.lit(1.0) + F.col("delta_w")) / F.col("sigma_w")).alias("_c")
@@ -154,7 +154,6 @@ def betweenness_centrality(
         )
     )
     e.unpersist()
-    e_by_dst.unpersist()
     return out
 
 
@@ -170,13 +169,10 @@ def closeness_centrality(
     over the sampled roots that reach v (undirected graph: d(r,v) =
     d(v,r)). Exact harmonic-free NetworKit "Closeness" convention;
     unreachable vertices get 0."""
-    spark = graph.vertices.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e0 = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     e = (
         e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .repartition(n_part, "src")  # frontier joins never exchange the edges
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     vertices = graph.vertices.select("id").persist(StorageLevel.MEMORY_AND_DISK)

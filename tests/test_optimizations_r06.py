@@ -6,7 +6,6 @@ plan has the promised shape."""
 
 from __future__ import annotations
 
-import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 

@@ -267,6 +267,17 @@ def pagerank(
             # fixed mode defers all execution to the caller's action
             ranks = new_ranks
 
+    # Unpersist unconditionally (r6 measured trade, recorded here):
+    # fixed mode returns a LAZY plan whose per-iteration checkpoints
+    # still reference en/vertices, so the caller's action recomputes
+    # the edge normalization once per iteration reference. Retaining
+    # the caches instead was measured ~20% faster per scaling leg —
+    # but it leaks session-lifetime cache entries sized like the edge
+    # table (CacheManager entries are not cleaned by reference GC), a
+    # real cost for any long-lived session calling fixed-mode pagerank
+    # repeatedly (the oracle-gate session runs dozens). The memory-
+    # safe release stays; converge mode has executed everything by
+    # now, so for it this is pure cleanup.
     en.unpersist()
     if hot is not None:
         hot.unpersist()
